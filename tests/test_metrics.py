@@ -1,0 +1,131 @@
+"""Golden tests for the EER / DET / t-DCF stack.
+
+The committed score files of the reference repo are exact oracles: the EER
+values below were recomputed from them with the reference's own algorithm
+(see BASELINE.md). Our implementation must reproduce them bit-for-bit.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from wav2vec_contr_loss_tpu.eval import metrics, score
+
+# (relative score file path, expected EER %) — from BASELINE.md
+GOLDEN_EERS = [
+    ("scores/baseline/facebook/wav2vec2-xls-r-300m/score_cm_eval.txt", 0.285),
+    ("scores/baseline/facebook/wav2vec2-xls-r-300m/score_cm_itw.txt", 15.935),
+    ("scores/supcon_geodesic_temp_0.07/facebook/wav2vec2-xls-r-300m/score_cm_eval.txt", 0.191),
+    ("scores/supcon_temp_0.6/facebook/wav2vec2-xls-r-300m/score_cm_itw.txt", 9.097),
+    ("scores/supcon/facebook/wav2vec2-xls-r-300m/score_cm_eval.txt", 0.299),
+]
+
+
+@pytest.mark.parametrize("rel_path,expected_eer", GOLDEN_EERS)
+def test_eer_matches_reference_score_files(reference_dir, rel_path, expected_eer):
+    path = os.path.join(reference_dir, rel_path)
+    if not os.path.exists(path):
+        pytest.skip(f"missing {rel_path}")
+    eer = metrics.calculate_eer_from_file(path)
+    assert abs(eer - expected_eer) < 5e-4, f"{rel_path}: {eer} != {expected_eer}"
+
+
+def test_det_curve_shapes_and_endpoints(rng):
+    tar = rng.normal(1.0, 1.0, 300)
+    non = rng.normal(-1.0, 1.0, 500)
+    frr, far, thr = metrics.compute_det_curve(tar, non)
+    assert frr.shape == far.shape == thr.shape == (801,)
+    assert frr[0] == 0.0 and far[0] == 1.0
+    assert frr[-1] == 1.0 and far[-1] == 0.0
+    # monotonic
+    assert np.all(np.diff(frr) >= 0)
+    assert np.all(np.diff(far) <= 0)
+    assert np.all(np.diff(thr) >= 0)
+
+
+def test_eer_separable_and_random(rng):
+    # perfectly separable -> EER 0
+    eer, _ = metrics.compute_eer(np.array([2.0, 3.0]), np.array([-1.0, 0.0]))
+    assert eer == 0.0
+    # identical distributions -> EER ~0.5
+    x = rng.normal(size=4000)
+    eer, _ = metrics.compute_eer(x[:2000], x[2000:])
+    assert abs(eer - 0.5) < 0.05
+
+
+def test_threshold_sweep_matches_det_eer(rng):
+    """The baseline's duplicate-score sweep and the DET-curve EER agree.
+
+    Exactly equal on distinct scores; on heavily tied scores the two
+    algorithms (both present in the reference) pick operating points within
+    one tie-group of each other, so allow a small tolerance there.
+    """
+    for trial in range(5):
+        scores = rng.normal(size=400)
+        labels = (rng.random(400) < 0.4).astype(int)
+        labels[:2] = [0, 1]  # both classes present
+        eer_sweep, _ = metrics.eer_threshold_sweep(labels, scores)
+        eer_det, _ = metrics.compute_eer(scores[labels == 1], scores[labels == 0])
+        assert abs(eer_sweep - eer_det) < 1e-12
+
+        tied = np.round(scores, 2)
+        eer_sweep, _ = metrics.eer_threshold_sweep(labels, tied)
+        eer_det, _ = metrics.compute_eer(tied[labels == 1], tied[labels == 0])
+        assert abs(eer_sweep - eer_det) < 5e-3
+
+
+def test_tdcf_sanity(rng):
+    bona = rng.normal(2.0, 1.0, 500)
+    spoof = rng.normal(-2.0, 1.0, 800)
+    tdcf, thr = metrics.compute_tdcf(
+        bona, spoof, pfa_asv=0.01, pmiss_asv=0.01, pmiss_spoof_asv=0.9
+    )
+    assert tdcf.shape == thr.shape
+    assert float(tdcf.min()) >= 0.0
+    assert float(tdcf.min()) < 0.3  # well-separated scores -> small min-tDCF
+
+    with pytest.raises(ValueError):
+        metrics.compute_tdcf(bona, spoof, 0.01, 0.01, None)
+    with pytest.raises(ValueError):
+        metrics.compute_tdcf(
+            np.array([1.0, 1.0]), np.array([0.0, 0.0]), 0.01, 0.01, 0.9
+        )
+
+
+def test_binary_classification_metrics_against_sklearn(rng):
+    sklearn = pytest.importorskip("sklearn.metrics")
+    scores = rng.random(1000)
+    labels = (rng.random(1000) < 0.3).astype(int)
+    acc, auc, eer = metrics.binary_classification_metrics(labels, scores)
+    ref_auc = sklearn.roc_auc_score(labels, scores)
+    assert auc == pytest.approx(ref_auc, abs=1e-12)
+    fpr, tpr, _ = sklearn.roc_curve(labels, scores, drop_intermediate=False)
+    fnr = 1.0 - tpr
+    ref_eer = 0.5 * (fpr + fnr)[np.argmin(np.abs(fnr - fpr))]
+    assert eer == pytest.approx(ref_eer, abs=2e-3)
+
+
+def test_obtain_asv_error_rates():
+    tar = np.array([1.0, 2.0, 3.0, 4.0])
+    non = np.array([-1.0, 0.5, 2.5])
+    spoof = np.array([0.0, 3.0])
+    pfa, pmiss, pmiss_spoof = metrics.obtain_asv_error_rates(tar, non, spoof, 2.0)
+    assert pfa == pytest.approx(1 / 3)
+    assert pmiss == pytest.approx(1 / 4)
+    assert pmiss_spoof == pytest.approx(1 / 2)
+    assert metrics.obtain_asv_error_rates(tar, non, np.array([]), 2.0)[2] is None
+
+
+def test_score_file_roundtrip(tmp_path):
+    labels = np.array([1, 0, 1, 0, 0])
+    scores = np.array([3.14159265, -2.5, 0.0, 1e-7, -1e3])
+    path = str(tmp_path / "score_cm_eval.txt")
+    score.write_cm_scores(path, labels, scores, utt_prefix="asv_eval")
+    rec = score.read_score_file(path)
+    assert len(rec) == 5
+    assert rec.utt_ids[0] == "asv_eval_000000"
+    assert rec.utt_ids[4] == "asv_eval_000004"
+    assert list(rec.keys) == ["bonafide", "spoof", "bonafide", "spoof", "spoof"]
+    assert np.allclose(rec.scores, np.round(scores, 6))
+    assert rec.bonafide_scores.size == 2 and rec.spoof_scores.size == 3
