@@ -1,17 +1,20 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set the XLA flags before jax is imported anywhere (the standard JAX
-trick for testing pjit/shard_map semantics without TPU hardware).
+The container's sitecustomize registers the axon TPU PJRT plugin at
+interpreter start and pins JAX_PLATFORMS=axon, so the env-var route is
+already stale by the time pytest runs. `jax.config.update` before any
+backend is initialized still wins — the standard JAX trick for testing
+pjit/shard_map semantics without TPU hardware.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
