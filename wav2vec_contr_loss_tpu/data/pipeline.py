@@ -1,0 +1,166 @@
+"""Host input pipeline: threaded decode + fixed-shape batch assembly +
+device prefetch.
+
+The reference hides its input cost behind torch DataLoader workers doing
+librosa-per-file loading (reference: train_stage1.py call stack, SURVEY.md
+§3.1). The TPU equivalent: a thread pool decodes/pads clips into pinned
+numpy batches of *static* shape (B, 80000), an optional host RawBoost pass
+(faithful mode), and a double-buffered `jax.device_put` prefetcher so the
+chip never waits on input.
+
+Eval/extraction iterate sequentially and pad the final partial batch with
+zero clips plus a `valid` mask, keeping every compiled shape identical.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .protocols import SpoofDataset
+from .rawboost import RawBoostParams, apply_rawboost_batch
+from .sampler import BalancedBatchSampler
+
+__all__ = ["Batch", "BatchPipeline", "prefetch_to_device"]
+
+
+@dataclass
+class Batch:
+    waveforms: np.ndarray     # (B, T) float32
+    labels: np.ndarray        # (B,) int32, 1 = bonafide
+    multi_labels: np.ndarray  # (B,) int32 attack-id classes
+    valid: np.ndarray         # (B,) bool, False on eval-tail padding
+
+    @property
+    def size(self) -> int:
+        return int(self.valid.sum())
+
+
+class BatchPipeline:
+    """Assembles fixed-shape batches from a SpoofDataset.
+
+    train mode: balanced epoch-seeded batches (BalancedBatchSampler).
+    sequential mode: dataset order, final batch zero-padded + masked.
+    """
+
+    def __init__(
+        self,
+        dataset: SpoofDataset,
+        batch_size: int,
+        seed: int = 1337,
+        num_workers: int = 8,
+        rawboost: Optional[RawBoostParams] = None,  # host-side RawBoost
+        rawboost_prob: float = 0.7,
+        rank: int = 0,
+        world_size: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.rawboost = rawboost
+        self.rawboost_prob = rawboost_prob
+        self.rank = rank
+        self.world_size = world_size
+        self._sampler: Optional[BalancedBatchSampler] = None
+        self._labels = dataset.labels
+        self._multi = dataset.multi_labels
+
+    @property
+    def sampler(self) -> BalancedBatchSampler:
+        # lazy: sequential-only pipelines may use batch sizes the balanced
+        # sampler would reject (odd sizes)
+        if self._sampler is None:
+            self._sampler = BalancedBatchSampler(
+                self._labels, self.batch_size, seed=self.seed,
+                rank=self.rank, world_size=self.world_size,
+            )
+        return self._sampler
+
+    @property
+    def batches_per_epoch(self) -> int:
+        return self.sampler.num_batches
+
+    def _assemble(self, indices: np.ndarray, pool: ThreadPoolExecutor,
+                  rng: Optional[np.random.Generator]) -> Batch:
+        t = self.dataset.audio_config.num_samples
+        b = self.batch_size
+        waves = np.zeros((b, t), dtype=np.float32)
+        labels = np.zeros(b, dtype=np.int32)
+        multi = np.zeros(b, dtype=np.int32)
+        valid = np.zeros(b, dtype=bool)
+
+        real = indices[indices >= 0]
+        loaded = list(pool.map(
+            lambda i: self.dataset.loader.load(self.dataset.utterances[i].path),
+            real,
+        ))
+        for slot, (i, w) in enumerate(zip(real, loaded)):
+            waves[slot, : w.shape[0]] = w[:t]
+            labels[slot] = self._labels[i]
+            multi[slot] = self._multi[i]
+            valid[slot] = True
+
+        if self.rawboost is not None and rng is not None:
+            waves = apply_rawboost_batch(
+                waves, rng, self.rawboost, prob=self.rawboost_prob
+            )
+        return Batch(waves, labels, multi, valid)
+
+    def train_epoch(self, epoch: int) -> Iterator[Batch]:
+        """Balanced batches for one epoch; host RawBoost (if configured) is
+        seeded by (seed, epoch) so runs are reproducible."""
+        rng = np.random.default_rng(np.random.PCG64((self.seed << 16) ^ epoch))
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for idx in self.sampler.epoch_batches(epoch):
+                yield self._assemble(idx, pool, rng)
+
+    def sequential(self, indices: Optional[np.ndarray] = None) -> Iterator[Batch]:
+        """Dataset-order batches (eval / embedding extraction); the last
+        partial batch is padded with invalid zero clips."""
+        n = len(self.dataset) if indices is None else len(indices)
+        order = np.arange(n) if indices is None else np.asarray(indices)
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, n, self.batch_size):
+                chunk = order[start : start + self.batch_size]
+                if chunk.size < self.batch_size:
+                    pad = np.full(self.batch_size - chunk.size, -1, dtype=np.int64)
+                    chunk = np.concatenate([chunk, pad])
+                yield self._assemble(chunk, pool, None)
+
+
+def prefetch_to_device(
+    iterator: Iterator,
+    put_fn,
+    depth: int = 2,
+) -> Iterator:
+    """Double-buffered device prefetch: a background thread runs `put_fn`
+    (typically jax.device_put with a NamedSharding) `depth` batches ahead of
+    the consumer, overlapping H2D transfer with the train step."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(put_fn(item))
+        except BaseException as e:  # surface worker errors to the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
