@@ -1,0 +1,175 @@
+"""Numerical parity of our Wav2Vec2 encoder against HuggingFace torch.
+
+A small random HF Wav2Vec2Model is constructed locally (no network), its
+state dict converted, and outputs compared layer-by-layer in fp32 — for
+both architecture variants ('layer'-norm stable-LN XLS-R style and
+'group'-norm post-LN large-960h style), with zero-padded inputs and the
+reference's inferred `wave != 0` attention mask (reference: encoder.py:50-51).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from wav2vec_contr_loss_tpu.models import (  # noqa: E402
+    CompressionModule,
+    SpoofDetector,
+    Wav2Vec2Encoder,
+    clip_embedding,
+    config_from_hf,
+    convert_hf_state_dict,
+)
+
+SMALL_KW = dict(
+    hidden_size=32,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=64,
+    conv_dim=(24, 24, 24),
+    conv_kernel=(10, 3, 3),
+    conv_stride=(5, 2, 2),
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    hidden_dropout=0.0,
+    attention_dropout=0.0,
+    activation_dropout=0.0,
+    feat_proj_dropout=0.0,
+    layerdrop=0.0,
+    vocab_size=32,
+)
+
+
+def make_pair(variant: str):
+    if variant == "xlsr":
+        hf_cfg = transformers.Wav2Vec2Config(
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+            conv_bias=True, **SMALL_KW,
+        )
+    else:
+        hf_cfg = transformers.Wav2Vec2Config(
+            do_stable_layer_norm=False, feat_extract_norm="group",
+            conv_bias=False, **SMALL_KW,
+        )
+    torch.manual_seed(0)
+    hf_model = transformers.Wav2Vec2Model(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg).with_(dtype=jnp.float32)
+    params = {"params": convert_hf_state_dict(hf_model.state_dict(), cfg)}
+    return hf_model, cfg, params
+
+
+def make_input(rng, b=2, t=2000, pad=700):
+    wave = rng.normal(0, 0.2, (b, t)).astype(np.float32)
+    wave[1, -pad:] = 0.0  # zero padding on the second clip
+    return wave
+
+
+@pytest.mark.parametrize("variant", ["xlsr", "large960h"])
+def test_hidden_states_match_hf(rng, variant):
+    hf_model, cfg, params = make_pair(variant)
+    wave = make_input(rng)
+    mask = (wave != 0.0).astype(np.int64)
+
+    with torch.no_grad():
+        out = hf_model(
+            torch.from_numpy(wave), attention_mask=torch.from_numpy(mask),
+            output_hidden_states=True, return_dict=True,
+        )
+    want_stack = np.stack([h.numpy() for h in out.hidden_states])  # (K,B,T,D)
+
+    enc = Wav2Vec2Encoder(cfg)
+    got = enc.apply(params, wave, return_all_hidden_states=True)
+    got_stack = np.asarray(got["all_hidden"])
+
+    assert got_stack.shape == want_stack.shape
+    np.testing.assert_allclose(got_stack, want_stack, atol=2e-4, rtol=1e-3)
+
+    # the fused layer-mean equals the mean over HF's hidden-state tuple
+    np.testing.assert_allclose(
+        np.asarray(got["layer_mean"]), want_stack.mean(0), atol=2e-4, rtol=1e-3
+    )
+    # frame mask reflects the conv-downsampled waveform mask
+    fm = np.asarray(got["frame_mask"])
+    assert fm[0].all() and not fm[1].all()
+
+
+def test_inferred_mask_matches_explicit(rng):
+    """attention_mask=None must reproduce the reference's wave != 0 rule."""
+    hf_model, cfg, params = make_pair("xlsr")
+    wave = make_input(rng)
+    enc = Wav2Vec2Encoder(cfg)
+    a = enc.apply(params, wave)
+    b = enc.apply(params, wave, (wave != 0.0).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(a["layer_mean"]), np.asarray(b["layer_mean"])
+    )
+
+
+def test_compression_matches_reference_math(rng):
+    """CompressionModule == mean_K -> LeakyReLU -> Linear (eval mode), both
+    from the fused layer_mean and from a (B,K,F,T) stack."""
+    k, b, t, f, h = 5, 2, 7, 16, 4
+    stack_bkft = rng.normal(size=(b, k, f, t)).astype(np.float32)
+    mod = CompressionModule(input_dim=f, hidden_dim=h)
+    layer_mean = stack_bkft.mean(axis=1).transpose(0, 2, 1)  # (B,T,F)
+    params = mod.init(jax.random.PRNGKey(0), layer_mean)
+    got = np.asarray(mod.apply(params, layer_mean))
+
+    kernel = np.asarray(params["params"]["proj"]["kernel"])
+    bias = np.asarray(params["params"]["proj"]["bias"])
+    x = layer_mean
+    x = np.where(x >= 0, x, 0.01 * x)  # LeakyReLU(0.01)
+    want = x @ kernel + bias
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    via_stack = np.asarray(
+        mod.apply(params, stack_bkft, method=CompressionModule.from_stack)
+    )
+    np.testing.assert_allclose(via_stack, got, atol=1e-6)
+
+
+def test_clip_embedding_l2():
+    seq = np.random.default_rng(0).normal(size=(3, 9, 8)).astype(np.float32)
+    z = np.asarray(clip_embedding(seq))
+    np.testing.assert_allclose(np.linalg.norm(z, axis=1), 1.0, atol=1e-6)
+    raw = np.asarray(clip_embedding(seq, l2_normalize=False))
+    np.testing.assert_allclose(raw, seq.mean(axis=1), atol=1e-6)
+
+
+def test_spoof_detector_modes(rng):
+    _, cfg, params = make_pair("xlsr")
+    model = SpoofDetector(encoder_config=cfg, hidden_dim=8)
+    wave = make_input(rng)
+    full = model.init(jax.random.PRNGKey(1), wave, mode="logits")
+    # graft converted encoder params under the assembled model
+    full["params"]["encoder"] = params["params"]
+    z = np.asarray(model.apply(full, wave, mode="embed"))
+    assert z.shape == (2, 8)
+    np.testing.assert_allclose(np.linalg.norm(z, axis=1), 1.0, atol=1e-5)
+    logits = np.asarray(model.apply(full, wave, mode="logits"))
+    assert logits.shape == (2,)
+
+
+def test_spec_augment_train_mode(rng):
+    _, cfg, params = make_pair("xlsr")
+    cfg = cfg.with_(mask_time_prob=0.5, mask_time_length=3)
+    enc = Wav2Vec2Encoder(cfg)
+    wave = make_input(rng)
+    det = enc.apply(params, wave)
+    aug = enc.apply(
+        params, wave, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(7)},
+    )
+    # masking must actually change activations, deterministically per key
+    assert not np.allclose(np.asarray(det["layer_mean"]),
+                           np.asarray(aug["layer_mean"]))
+    aug2 = enc.apply(
+        params, wave, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(7)},
+    )
+    np.testing.assert_array_equal(np.asarray(aug["layer_mean"]),
+                                  np.asarray(aug2["layer_mean"]))

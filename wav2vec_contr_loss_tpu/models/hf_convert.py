@@ -1,0 +1,172 @@
+"""HuggingFace Wav2Vec2 checkpoint -> JAX parameter conversion.
+
+The reference consumes pretrained encoders directly via
+`transformers.Wav2Vec2Model.from_pretrained` (reference: encoder.py:21).
+Here the torch state dict is mapped onto our flax parameter tree:
+
+  * Dense kernels transpose (out, in) -> (in, out),
+  * conv kernels transpose (out, in, k) -> (k, in, out),
+  * the positional conv's weight-norm parametrization (g, v) is collapsed
+    into the effective kernel w = g * v / ||v|| (norm over dims 0,1 —
+    torch weight_norm dim=2),
+  * per-layer transformer weights are stacked along a leading axis to feed
+    the scanned layer stack (models/wav2vec2.py).
+
+Works from (a) an in-memory torch state dict (tests use a random small HF
+model) or (b) a pretrained HF model name when network/cache is available.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from .wav2vec2 import Wav2Vec2Config
+
+__all__ = ["convert_hf_state_dict", "config_from_hf", "load_pretrained"]
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _dense(sd: Mapping, prefix: str) -> Dict:
+    return {"kernel": _np(sd[f"{prefix}.weight"]).T,
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _ln(sd: Mapping, prefix: str) -> Dict:
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _pos_conv_kernel(sd: Mapping, prefix: str) -> np.ndarray:
+    """Collapse torch weight-norm (dim=2) into the effective conv kernel."""
+    if f"{prefix}.weight_v" in sd:
+        v = _np(sd[f"{prefix}.weight_v"])
+        g = _np(sd[f"{prefix}.weight_g"])
+    elif f"{prefix}.parametrizations.weight.original1" in sd:
+        g = _np(sd[f"{prefix}.parametrizations.weight.original0"])
+        v = _np(sd[f"{prefix}.parametrizations.weight.original1"])
+    elif f"{prefix}.weight" in sd:  # already materialized
+        return _np(sd[f"{prefix}.weight"]).transpose(2, 1, 0)
+    else:
+        raise KeyError(f"no positional-conv weight under {prefix}")
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    w = g * v / np.maximum(norm, 1e-12)     # (out, in/groups, k)
+    return w.transpose(2, 1, 0)             # -> (k, in/groups, out)
+
+
+def convert_hf_state_dict(
+    state_dict: Mapping, config: Wav2Vec2Config
+) -> Dict:
+    """torch Wav2Vec2Model state dict -> flax params for Wav2Vec2Encoder."""
+    sd = {k.removeprefix("wav2vec2."): v for k, v in state_dict.items()}
+
+    fe: Dict = {}
+    for i in range(len(config.conv_dim)):
+        conv = {"kernel": _np(sd[f"feature_extractor.conv_layers.{i}.conv.weight"]
+                              ).transpose(2, 1, 0)}
+        if config.conv_bias:
+            conv["bias"] = _np(sd[f"feature_extractor.conv_layers.{i}.conv.bias"])
+        fe[f"conv{i}"] = conv
+        if config.feat_extract_norm == "layer":
+            fe[f"norm{i}"] = {
+                "LayerNorm_0": _ln(sd, f"feature_extractor.conv_layers.{i}.layer_norm")
+            }
+    if config.feat_extract_norm == "group":
+        fe["group_norm"] = _ln(sd, "feature_extractor.conv_layers.0.layer_norm")
+
+    params: Dict = {
+        "feature_extractor": fe,
+        "feature_projection": {
+            "layer_norm": _ln(sd, "feature_projection.layer_norm"),
+            "projection": _dense(sd, "feature_projection.projection"),
+        },
+        "pos_conv_embed": {
+            "conv": {
+                "kernel": _pos_conv_kernel(sd, "encoder.pos_conv_embed.conv"),
+                "bias": _np(sd["encoder.pos_conv_embed.conv.bias"]),
+            }
+        },
+        "encoder_layer_norm": _ln(sd, "encoder.layer_norm"),
+    }
+    if config.apply_spec_augment and "masked_spec_embed" in sd:
+        params["masked_spec_embed"] = _np(sd["masked_spec_embed"])
+
+    # stack per-layer weights along the scan axis
+    def stacked(make_one):
+        leaves = [make_one(i) for i in range(config.num_layers)]
+        return _stack_trees(leaves)
+
+    params["layers"] = {
+        "layer": stacked(
+            lambda i: {
+                "attention": {
+                    name: _dense(sd, f"encoder.layers.{i}.attention.{name}")
+                    for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+                },
+                "feed_forward": {
+                    "intermediate_dense": _dense(
+                        sd, f"encoder.layers.{i}.feed_forward.intermediate_dense"
+                    ),
+                    "output_dense": _dense(
+                        sd, f"encoder.layers.{i}.feed_forward.output_dense"
+                    ),
+                },
+                "layer_norm": _ln(sd, f"encoder.layers.{i}.layer_norm"),
+                "final_layer_norm": _ln(sd, f"encoder.layers.{i}.final_layer_norm"),
+            }
+        )
+    }
+    return params
+
+
+def _stack_trees(trees):
+    out = {}
+    for k, v in trees[0].items():
+        if isinstance(v, dict):
+            out[k] = _stack_trees([t[k] for t in trees])
+        else:
+            out[k] = np.stack([t[k] for t in trees], axis=0)
+    return out
+
+
+def config_from_hf(hf_config) -> Wav2Vec2Config:
+    """transformers.Wav2Vec2Config -> our config dataclass."""
+    return Wav2Vec2Config(
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        conv_dim=tuple(hf_config.conv_dim),
+        conv_kernel=tuple(hf_config.conv_kernel),
+        conv_stride=tuple(hf_config.conv_stride),
+        conv_bias=hf_config.conv_bias,
+        feat_extract_norm=hf_config.feat_extract_norm,
+        do_stable_layer_norm=hf_config.do_stable_layer_norm,
+        num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=hf_config.num_conv_pos_embedding_groups,
+        layer_norm_eps=hf_config.layer_norm_eps,
+        hidden_dropout=hf_config.hidden_dropout,
+        attention_dropout=hf_config.attention_dropout,
+        activation_dropout=hf_config.activation_dropout,
+        feat_proj_dropout=hf_config.feat_proj_dropout,
+        apply_spec_augment=hf_config.apply_spec_augment,
+        mask_time_prob=hf_config.mask_time_prob,
+        mask_time_length=hf_config.mask_time_length,
+    )
+
+
+def load_pretrained(model_name: str):
+    """(config, params) from a pretrained HF checkpoint. Needs the HF cache
+    or network access; in air-gapped environments initialize randomly or
+    convert a checkpoint offline."""
+    from transformers import Wav2Vec2Model
+
+    model = Wav2Vec2Model.from_pretrained(model_name)
+    cfg = config_from_hf(model.config)
+    return cfg, convert_hf_state_dict(model.state_dict(), cfg)

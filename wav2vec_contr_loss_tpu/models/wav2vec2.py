@@ -1,0 +1,385 @@
+"""Wav2Vec2 encoder, TPU-native (flax.linen, static shapes, bf16 compute).
+
+Functionally equivalent to HuggingFace's Wav2Vec2Model as used by the
+reference (reference: encoder.py:11-70): strided-conv feature extractor ->
+feature projection -> convolutional positional embedding -> transformer
+stack, exposing all K = num_layers + 1 hidden states.
+
+TPU-first deviations from the HF/torch structure (outputs match numerically;
+see tests/test_wav2vec2_parity.py):
+
+  * The transformer stack runs as one `lax.scan` over stacked per-layer
+    parameters (one trace, fast compiles, `jax.checkpoint`-friendly).
+  * Downstream consumers only ever use the *mean* over the K hidden states
+    (reference: compression_module.py:48, extract_encoder_embeddings.py,
+    plot_subspace_umap_asv.py:145-151), so the encoder accumulates a
+    running layer-sum inside the scan and never materializes the
+    (B, K, F, T) stack — a ~K x activation-memory saving. The full stack
+    is still available via `return_all_hidden_states=True` for API parity.
+  * Attention-mask semantics copied exactly: the waveform mask (inferred as
+    `wave != 0` when absent, reference: encoder.py:50-51) is reduced to a
+    length, pushed through the conv stride chain, and becomes both a
+    zeroing mask on the projected features and a -inf key bias.
+  * SpecAugment time-masking (active only while finetuning, as in HF train
+    mode) uses a static-shape Bernoulli span-start formulation instead of
+    HF's dynamic `_compute_mask_indices` (same expected mask rate).
+
+Compute dtype is configurable (bf16 default for training, fp32 for parity
+tests); params are always fp32. LayerNorms and softmax run in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Wav2Vec2Config", "Wav2Vec2Encoder", "feature_frame_length", "XLSR_300M", "LARGE_960H"]
+
+
+@dataclass(frozen=True)
+class Wav2Vec2Config:
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"     # 'layer' (lv60/XLS-R) | 'group'
+    do_stable_layer_norm: bool = True    # pre-LN (lv60/XLS-R) vs post-LN
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    feat_proj_dropout: float = 0.1
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.075
+    mask_time_length: int = 10
+    dtype: jnp.dtype = jnp.bfloat16      # compute dtype; params stay fp32
+    remat: bool = False                  # rematerialize encoder layers
+
+    def with_(self, **kw) -> "Wav2Vec2Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def num_hidden_states(self) -> int:
+        return self.num_layers + 1
+
+
+# facebook/wav2vec2-xls-r-300m — the reference's flagship encoder
+XLSR_300M = Wav2Vec2Config()
+# facebook/wav2vec2-large-960h — the older post-LN variant
+LARGE_960H = Wav2Vec2Config(
+    conv_bias=False, feat_extract_norm="group", do_stable_layer_norm=False,
+    mask_time_prob=0.05,
+)
+
+
+def feature_frame_length(num_samples: int, config: Wav2Vec2Config) -> int:
+    """Waveform samples -> encoder frames through the conv stride chain
+    (80,000 samples -> 249 frames for the default config)."""
+    n = num_samples
+    for k, s in zip(config.conv_kernel, config.conv_stride):
+        n = (n - k) // s + 1
+    return n
+
+
+def _frame_lengths(sample_lengths: jnp.ndarray, config: Wav2Vec2Config) -> jnp.ndarray:
+    n = sample_lengths
+    for k, s in zip(config.conv_kernel, config.conv_stride):
+        n = (n - k) // s + 1
+    return n
+
+
+class _ConvLayerNorm(nn.Module):
+    """fp32 LayerNorm applied over the channel dim of (B, T, C)."""
+
+    eps: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32,
+                            param_dtype=jnp.float32)(x).astype(self.dtype)
+
+
+class FeatureExtractor(nn.Module):
+    """7 strided 1-D convolutions: (B, T_samples) -> (B, T_frames, 512).
+
+    norm variants (reference encoder uses HF configs):
+      'layer': LayerNorm after every conv (lv60/XLS-R),
+      'group': GroupNorm(C groups) after the first conv only.
+    """
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = waveforms[:, :, None].astype(cfg.dtype)  # (B, T, 1)
+        for i, (dim, k, s) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            x = nn.Conv(
+                features=dim, kernel_size=(k,), strides=(s,), padding="VALID",
+                use_bias=cfg.conv_bias, dtype=cfg.dtype, param_dtype=jnp.float32,
+                name=f"conv{i}",
+            )(x)
+            if cfg.feat_extract_norm == "layer":
+                x = _ConvLayerNorm(cfg.layer_norm_eps, cfg.dtype,
+                                   name=f"norm{i}")(x)
+            elif cfg.feat_extract_norm == "group" and i == 0:
+                x = nn.GroupNorm(
+                    num_groups=dim, epsilon=cfg.layer_norm_eps,
+                    dtype=jnp.float32, param_dtype=jnp.float32, name="group_norm",
+                )(x.astype(jnp.float32)).astype(cfg.dtype)
+            x = jax.nn.gelu(x, approximate=False)
+        return x
+
+
+class FeatureProjection(nn.Module):
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        cfg = self.config
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="layer_norm")(x)
+        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=jnp.float32,
+                     name="projection")(x.astype(cfg.dtype))
+        return nn.Dropout(cfg.feat_proj_dropout)(x, deterministic=deterministic)
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding (kernel 128, 16 groups, 'same'-ish
+    padding with one-frame trim for even kernels), GELU."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        k = cfg.num_conv_pos_embeddings
+        pad = k // 2
+        y = nn.Conv(
+            features=cfg.hidden_size, kernel_size=(k,), strides=(1,),
+            padding=[(pad, pad)], feature_group_count=cfg.num_conv_pos_embedding_groups,
+            use_bias=True, dtype=cfg.dtype, param_dtype=jnp.float32, name="conv",
+        )(x.astype(cfg.dtype))
+        if k % 2 == 0:
+            y = y[:, :-1, :]
+        return jax.nn.gelu(y, approximate=False)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention; bf16 matmuls, fp32 logits + softmax."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, key_bias: Optional[jnp.ndarray],
+                 deterministic: bool) -> jnp.ndarray:
+        cfg = self.config
+        d, h = cfg.hidden_size, cfg.num_heads
+        hd = d // h
+        dense = lambda name: nn.Dense(d, dtype=cfg.dtype, param_dtype=jnp.float32,
+                                      name=name)
+        q = dense("q_proj")(x) * (hd ** -0.5)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+        b, t = x.shape[0], x.shape[1]
+        q = q.reshape(b, t, h, hd)
+        k = k.reshape(b, t, h, hd)
+        v = v.reshape(b, t, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if key_bias is not None:
+            logits = logits + key_bias  # (B, 1, 1, T) additive -inf mask
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(cfg.dtype), v)
+        return dense("out_proj")(out.reshape(b, t, d))
+
+
+class FeedForward(nn.Module):
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        cfg = self.config
+        x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
+                     param_dtype=jnp.float32, name="intermediate_dense")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
+        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=jnp.float32,
+                     name="output_dense")(x)
+        return nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+
+
+class EncoderLayer(nn.Module):
+    """One transformer block; `do_stable_layer_norm` picks pre-LN (XLS-R)
+    vs post-LN (large-960h) residual placement."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, key_bias: Optional[jnp.ndarray],
+                 deterministic: bool) -> jnp.ndarray:
+        cfg = self.config
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                       dtype=jnp.float32,
+                                       param_dtype=jnp.float32, name=name)
+        attn = SelfAttention(cfg, name="attention")
+        ff = FeedForward(cfg, name="feed_forward")
+        drop = nn.Dropout(cfg.hidden_dropout)
+        if cfg.do_stable_layer_norm:
+            y = ln("layer_norm")(x).astype(cfg.dtype)
+            x = x + drop(attn(y, key_bias, deterministic),
+                         deterministic=deterministic)
+            y = ln("final_layer_norm")(x).astype(cfg.dtype)
+            return x + ff(y, deterministic)
+        x = x + drop(attn(x, key_bias, deterministic), deterministic=deterministic)
+        x = ln("layer_norm")(x).astype(cfg.dtype)
+        x = x + ff(x, deterministic)
+        return ln("final_layer_norm")(x).astype(cfg.dtype)
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Full encoder. Returns a dict:
+
+      layer_mean:  (B, T', D) mean of all K = num_layers+1 hidden states —
+                   the only quantity downstream consumers use,
+      last_hidden: (B, T', D) final hidden state (post final-LN for XLS-R),
+      frame_mask:  (B, T') bool validity mask in frame space,
+      all_hidden:  (K, B, T', D), only when return_all_hidden_states=True
+                   (API parity with the reference's (B,K,F,T) contract,
+                   reference: encoder.py:65-68).
+    """
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(
+        self,
+        waveforms: jnp.ndarray,                      # (B, T_samples)
+        attention_mask: Optional[jnp.ndarray] = None,  # (B, T_samples) 0/1
+        deterministic: bool = True,
+        return_all_hidden_states: bool = False,
+    ):
+        cfg = self.config
+        if attention_mask is None:
+            # the reference infers the mask from exact zero samples
+            # (reference: encoder.py:50-51)
+            attention_mask = (waveforms != 0.0).astype(jnp.int32)
+
+        features = FeatureExtractor(cfg, name="feature_extractor")(waveforms)
+        t_frames = features.shape[1]
+
+        lengths = _frame_lengths(attention_mask.sum(-1).astype(jnp.int32), cfg)
+        frame_idx = jnp.arange(t_frames)[None, :]
+        frame_mask = frame_idx < lengths[:, None]    # (B, T')
+
+        hidden = FeatureProjection(cfg, name="feature_projection")(
+            features, deterministic
+        )
+
+        # SpecAugment time masking — active only in train mode, as in HF.
+        # The param is created unconditionally so init() in eval mode still
+        # produces a complete tree (checkpoint/convert stability).
+        masked_embed = self.param(
+            "masked_spec_embed", nn.initializers.uniform(scale=1.0),
+            (cfg.hidden_size,), jnp.float32,
+        ) if cfg.apply_spec_augment else None
+        if masked_embed is not None and not deterministic and cfg.mask_time_prob > 0:
+            rng = self.make_rng("dropout")
+            starts = (
+                jax.random.uniform(rng, (hidden.shape[0], t_frames))
+                < cfg.mask_time_prob / cfg.mask_time_length
+            )
+            # dilate span starts to spans of mask_time_length frames
+            span = jax.lax.reduce_window(
+                starts.astype(jnp.int32), 0, jax.lax.max,
+                (1, cfg.mask_time_length), (1, 1),
+                [(0, 0), (cfg.mask_time_length - 1, 0)],
+            ).astype(bool)
+            span = span & frame_mask
+            hidden = jnp.where(span[:, :, None],
+                               masked_embed.astype(hidden.dtype), hidden)
+
+        # zero padded positions, then the -inf key bias (HF semantics)
+        hidden = hidden * frame_mask[:, :, None].astype(hidden.dtype)
+        key_bias = jnp.where(frame_mask, 0.0, -1e30).astype(jnp.float32)
+        key_bias = key_bias[:, None, None, :]        # (B, 1, 1, T')
+
+        hidden = hidden + PositionalConvEmbedding(cfg, name="pos_conv_embed")(hidden)
+        if not cfg.do_stable_layer_norm:
+            hidden = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                param_dtype=jnp.float32, name="encoder_layer_norm",
+            )(hidden).astype(cfg.dtype)
+        hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic=deterministic)
+
+        # ---- transformer stack as one scan over stacked layer params ----
+        collect_all = return_all_hidden_states
+
+        class _Body(nn.Module):
+            """Scan body: one encoder layer + running hidden-state sum.
+            key_bias / deterministic are closure-captured so the remat
+            wrapper only ever sees array arguments."""
+
+            cfg_inner: Wav2Vec2Config
+
+            @nn.compact
+            def __call__(self, carry, _):
+                h, acc = carry
+                h_out = EncoderLayer(self.cfg_inner, name="layer")(
+                    h, key_bias, deterministic
+                )
+                acc = acc + h_out.astype(jnp.float32)
+                ys = h_out if collect_all else 0
+                return (h_out, acc), ys
+
+        body_cls = nn.remat(_Body, prevent_cse=False) if cfg.remat else _Body
+        ScanBody = nn.scan(
+            body_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.num_layers,
+        )
+        acc0 = hidden.astype(jnp.float32)
+        (h_last, acc), ys = ScanBody(cfg, name="layers")(
+            (hidden, acc0), jnp.arange(cfg.num_layers)
+        )
+
+        if cfg.do_stable_layer_norm:
+            final = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                param_dtype=jnp.float32, name="encoder_layer_norm",
+            )(h_last)
+            # hidden-state list = [h0, out_0..out_22, LN(out_23)]:
+            # swap the raw last layer output for its post-LN version
+            acc = acc - h_last.astype(jnp.float32) + final
+            last_hidden = final.astype(cfg.dtype)
+        else:
+            last_hidden = h_last
+
+        out = {
+            "layer_mean": acc / cfg.num_hidden_states,   # fp32 (B, T', D)
+            "last_hidden": last_hidden,
+            "frame_mask": frame_mask,
+        }
+        if return_all_hidden_states:
+            first = hidden.astype(jnp.float32)[None]
+            stack = ys.astype(jnp.float32)
+            if cfg.do_stable_layer_norm:
+                stack = stack.at[-1].set(last_hidden.astype(jnp.float32))
+            out["all_hidden"] = jnp.concatenate([first, stack], axis=0)
+        return out
