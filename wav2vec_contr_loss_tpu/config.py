@@ -1,0 +1,275 @@
+"""Configuration tree: one dataclass hierarchy + the published experiment
+presets.
+
+Replaces the reference's scattered module-constant + argparse configs
+(reference: stage1_config.py:8-42/45-220, stage2_config.py:8-28, inline
+CONFIG blocks in baseline_train.py:23-57). The printed banner keeps the
+reference's KEY=value format so logs diff cleanly (stage1_config.py:223-258),
+and `ckpt_config` emits the same UPPERCASE dict that the reference embeds in
+checkpoints as the reload contract (stage1_config.py:261-283).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+__all__ = [
+    "DataPaths",
+    "Stage1Config",
+    "Stage2Config",
+    "BaselineConfig",
+    "EXPERIMENT_PRESETS",
+    "preset",
+    "run_tag",
+]
+
+
+def run_tag(model_name: str) -> str:
+    """HF model id -> filesystem-safe run tag (reference:
+    stage1_config.py:185-186)."""
+    return model_name.replace("/", "__")
+
+
+@dataclass(frozen=True)
+class DataPaths:
+    train_root: str = ""
+    train_protocol: str = ""
+    dev_root: str = ""
+    dev_protocol: str = ""
+    eval_root: str = ""
+    eval_protocol: str = ""
+    itw_root: str = ""
+    itw_protocol: str = ""
+    save_dir: str = "checkpoints"
+    emb_dir: str = "embeddings"
+    scores_dir: str = "scores"
+
+
+@dataclass(frozen=True)
+class Stage1Config:
+    """Stage-1 SupCon embedding training (reference: stage1_config.py)."""
+
+    model_name: str = "facebook/wav2vec2-xls-r-300m"
+    target_sample_rate: int = 16000
+    max_duration_seconds: int = 5
+    input_dim: int = 1024
+    hidden_dim: int = 256
+    dropout: float = 0.1
+
+    epochs: int = 100
+    batch_size: int = 32
+    num_samples: Optional[int] = None
+    head_lr: float = 5e-3
+    enc_lr: float = 1e-5
+    weight_decay: float = 3e-3
+    seed: int = 1337
+    finetune_encoder: bool = False
+    grad_clip: float = 5.0              # on head params only (stage1_utils.py:129)
+
+    temperature: float = 0.2
+    supcon_similarity: str = "cosine"   # 'cosine' | 'geodesic'
+    uniformity_weight: float = 0.0
+    uniformity_t: float = 2.0
+    topk_neg: int = 15
+    warmup_epochs: int = 100
+    alpha_end: float = 1.0
+    alpha_ramp_epochs: int = 80
+
+    use_rawboost: bool = True
+    rawboost_prob: float = 0.7
+    rawboost_mode: str = "device"       # 'device' (fused) | 'host' (faithful) | 'off'
+
+    compute_dtype: str = "bfloat16"     # encoder matmul dtype; loss is fp32
+    remat_encoder: bool = False
+
+    def replace(self, **kw) -> "Stage1Config":
+        return dataclasses.replace(self, **kw)
+
+    def ckpt_config(self) -> Dict:
+        return {
+            "MODEL_NAME": self.model_name,
+            "RUN_TAG": run_tag(self.model_name),
+            "INPUT_DIM": self.input_dim,
+            "HIDDEN_DIM": self.hidden_dim,
+            "DROPOUT": self.dropout,
+            "BATCH_SIZE": self.batch_size,
+            "HEAD_LR": self.head_lr,
+            "ENC_LR": self.enc_lr,
+            "WEIGHT_DECAY": self.weight_decay,
+            "TEMPERATURE": self.temperature,
+            "TOPK_NEG": self.topk_neg,
+            "WARMUP_EPOCHS": self.warmup_epochs,
+            "ALPHA_END": self.alpha_end,
+            "ALPHA_RAMP_EPOCHS": self.alpha_ramp_epochs,
+            "USE_RAWBOOST": self.use_rawboost,
+            "RAWBOOST_PROB": self.rawboost_prob,
+            "UNIFORMITY_WEIGHT": self.uniformity_weight,
+            "UNIFORMITY_T": self.uniformity_t,
+            "SUPCON_SIMILARITY": self.supcon_similarity,
+            "FINETUNE_ENCODER": self.finetune_encoder,
+        }
+
+    def print_banner(self, paths: Optional[DataPaths] = None,
+                     world_size: int = 1, rank: int = 0) -> None:
+        if rank != 0:
+            return
+        print("=== CONFIG ===")
+        print(f"MODEL_NAME={self.model_name}")
+        if paths is not None:
+            print(f"SAVE_DIR={paths.save_dir}")
+            print(f"TRAIN_ROOT={paths.train_root}")
+            print(f"TRAIN_PROTOCOL={paths.train_protocol}")
+            print(f"DEV_ROOT={paths.dev_root}")
+            print(f"DEV_PROTOCOL={paths.dev_protocol}")
+        print(f"TARGET_SAMPLE_RATE={self.target_sample_rate}")
+        print(f"MAX_DURATION_SECONDS={self.max_duration_seconds}")
+        print(f"INPUT_DIM={self.input_dim}")
+        print(f"HIDDEN_DIM={self.hidden_dim}")
+        print(f"DROPOUT={self.dropout}")
+        print(f"EPOCHS={self.epochs}")
+        print(f"BATCH_SIZE={self.batch_size}")
+        print(f"NUM_SAMPLES={self.num_samples}")
+        print(f"HEAD_LR={self.head_lr}")
+        print(f"ENC_LR={self.enc_lr}")
+        print(f"WEIGHT_DECAY={self.weight_decay}")
+        print(f"TEMPERATURE={self.temperature}")
+        print(f"SEED={self.seed}")
+        print(f"UNIFORMITY_WEIGHT={self.uniformity_weight}")
+        print(f"UNIFORMITY_T={self.uniformity_t}")
+        print(f"SUPCON_SIMILARITY={self.supcon_similarity}")
+        print(f"TOPK_NEG={self.topk_neg}")
+        print(f"WARMUP_EPOCHS={self.warmup_epochs}")
+        print(f"ALPHA_END={self.alpha_end}")
+        print(f"ALPHA_RAMP_EPOCHS={self.alpha_ramp_epochs}")
+        print(f"USE_RAWBOOST={self.use_rawboost}")
+        print(f"RAWBOOST_PROB={self.rawboost_prob}")
+        print(f"FINETUNE_ENCODER={self.finetune_encoder}")
+        print(f"DISTRIBUTED={world_size > 1} | WORLD_SIZE={world_size} | RANK={rank}")
+        print("=============")
+
+
+@dataclass(frozen=True)
+class Stage2Config:
+    """Stage-2 classifier over extracted embeddings
+    (reference: stage2_config.py:8-28)."""
+
+    head_type: str = "linear"   # 'linear' | 'mlp'
+    in_dim: int = 256
+    hidden_dim: int = 128
+    dropout: float = 0.2
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    epochs: int = 100
+    batch_size: int = 256
+    patience: int = 15
+    log_every: int = 50
+    seed: int = 1337
+
+    def replace(self, **kw) -> "Stage2Config":
+        return dataclasses.replace(self, **kw)
+
+    def ckpt_config(self) -> Dict:
+        return {
+            "HEAD_TYPE": self.head_type,
+            "IN_DIM": self.in_dim,
+            "HIDDEN_DIM": self.hidden_dim,
+            "DROPOUT": self.dropout,
+            "LR": self.lr,
+            "WEIGHT_DECAY": self.weight_decay,
+            "BATCH_SIZE": self.batch_size,
+            "PATIENCE": self.patience,
+        }
+
+
+@dataclass(frozen=True)
+class BaselineConfig:
+    """End-to-end BCE baseline (reference: baseline_train.py:23-57)."""
+
+    model_name: str = "facebook/wav2vec2-xls-r-300m"
+    target_sample_rate: int = 16000
+    max_duration_seconds: int = 5
+    input_dim: int = 1024
+    hidden_dim: int = 256
+    dropout: float = 0.1
+
+    epochs: int = 100
+    batch_size: int = 32
+    num_samples: Optional[int] = None
+    head_lr: float = 5e-3
+    enc_lr: float = 1e-5
+    weight_decay: float = 3e-3
+    seed: int = 1337
+    finetune_encoder: bool = True
+    grad_clip: float = 5.0              # on ALL params (baseline_train.py:203)
+    patience: int = 10                  # early stop on dev EER
+
+    use_rawboost: bool = True
+    rawboost_prob: float = 0.7
+    rawboost_mode: str = "device"
+    use_pos_weight: bool = True
+
+    compute_dtype: str = "bfloat16"     # the AMP equivalent; no GradScaler
+    remat_encoder: bool = False
+
+    def replace(self, **kw) -> "BaselineConfig":
+        return dataclasses.replace(self, **kw)
+
+    def ckpt_config(self) -> Dict:
+        return {
+            "MODEL_NAME": self.model_name,
+            "RUN_TAG": run_tag(self.model_name),
+            "INPUT_DIM": self.input_dim,
+            "HIDDEN_DIM": self.hidden_dim,
+            "DROPOUT": self.dropout,
+            "BATCH_SIZE": self.batch_size,
+            "HEAD_LR": self.head_lr,
+            "ENC_LR": self.enc_lr,
+            "WEIGHT_DECAY": self.weight_decay,
+            "USE_RAWBOOST": self.use_rawboost,
+            "RAWBOOST_PROB": self.rawboost_prob,
+            "FINETUNE_ENCODER": self.finetune_encoder,
+        }
+
+
+# ---------------------------------------------------------------- presets
+# The published sweep (see BASELINE.md; configured in train_stage1.sbatch:
+# finetune, bs=32, 100 epochs, warmup 100 => alpha == 0).
+_SWEEP = dict(finetune_encoder=True, batch_size=32, epochs=100,
+              warmup_epochs=100)
+
+EXPERIMENT_PRESETS: Dict[str, Stage1Config] = {
+    "supcon": Stage1Config(**_SWEEP),
+    "supcon_temp_0.05": Stage1Config(temperature=0.05, **_SWEEP),
+    "supcon_temp_0.07": Stage1Config(temperature=0.07, **_SWEEP),
+    "supcon_temp_0.07_batch_64": Stage1Config(
+        temperature=0.07, finetune_encoder=True, batch_size=64, epochs=100,
+        warmup_epochs=100,
+    ),
+    "supcon_temp_0.1": Stage1Config(temperature=0.1, **_SWEEP),
+    "supcon_temp_0.6": Stage1Config(temperature=0.6, **_SWEEP),
+    "supcon_geodesic": Stage1Config(supcon_similarity="geodesic", **_SWEEP),
+    "supcon_geodesic_temp_0.05": Stage1Config(
+        supcon_similarity="geodesic", temperature=0.05, **_SWEEP),
+    "supcon_geodesic_temp_0.07": Stage1Config(
+        supcon_similarity="geodesic", temperature=0.07, **_SWEEP),
+    "supcon_geodesic_temp_0.1": Stage1Config(
+        supcon_similarity="geodesic", temperature=0.1, **_SWEEP),
+    "supcon_geodesic_temp_0.6": Stage1Config(
+        supcon_similarity="geodesic", temperature=0.6, **_SWEEP),
+    "supcon_uniformity": Stage1Config(uniformity_weight=0.2, **_SWEEP),
+    "supcon_uniformity_weight_0.01": Stage1Config(uniformity_weight=0.01, **_SWEEP),
+    "supcon_uniformity_weight_0.05": Stage1Config(uniformity_weight=0.05, **_SWEEP),
+    "supcon_uniformity_weight_0.1": Stage1Config(uniformity_weight=0.1, **_SWEEP),
+    "supcon_uniformity_weight_0.6": Stage1Config(uniformity_weight=0.6, **_SWEEP),
+}
+
+
+def preset(name: str) -> Stage1Config:
+    if name not in EXPERIMENT_PRESETS:
+        raise KeyError(
+            f"unknown experiment preset {name!r}; "
+            f"known: {sorted(EXPERIMENT_PRESETS)}"
+        )
+    return EXPERIMENT_PRESETS[name]

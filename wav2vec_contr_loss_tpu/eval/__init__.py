@@ -1,1 +1,1 @@
-from . import metrics, score  # noqa: F401
+from . import extract, metrics, score  # noqa: F401

@@ -1,0 +1,109 @@
+"""Device mesh + sharding layout.
+
+The reference's entire parallelism story is single-GPU DataParallel plus
+dead NCCL scaffolding (reference: train_stage1.py:82-84,
+stage1_utils.py:46-47/91-99/156-172 — never activated; SURVEY.md §2.7).
+The TPU-native replacement is SPMD: one `jax.sharding.Mesh` with axes
+
+  ('data', 'model')
+
+where the balanced global batch is sharded over 'data' (XLA emits the
+gradient all-reduce over ICI — the `_reduce_avg` equivalent is free, since
+the jitted loss already averages over the global batch), and 'model'
+optionally tensor-shards the transformer's attention heads and MLP
+(XLS-R-300m fits replicated on one v5e chip, so model=1 is the default; the
+axis exists for larger encoders / smaller chips).
+
+Cross-host input: every process feeds its `jax.process_index()` slice of
+the same global balanced batch (data/sampler.py 'global' mode) via
+`jax.make_array_from_process_local_data`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "param_sharding_rules",
+           "shard_params"]
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """2-D ('data', 'model') mesh over the available devices.
+
+    Defaults to pure data parallelism over every device. 'model' consumes
+    the innermost (fastest-ICI) axis of the device list so tensor-parallel
+    collectives ride neighbor links.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    total = devices.size
+    if n_data is None:
+        if total % n_model:
+            raise ValueError(f"{total} devices not divisible by model={n_model}")
+        n_data = total // n_model
+    if n_data * n_model != total:
+        raise ValueError(f"mesh {n_data}x{n_model} != {total} devices")
+    return Mesh(devices.reshape(n_data, n_model), axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis over 'data' (batch dims of waveforms/labels)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Tensor-parallel layout for the scanned encoder layers (leading axis L is
+# the scan axis, never sharded). Column-parallel qkv + up-projection,
+# row-parallel out/down-projection => one psum per block, the Megatron
+# layout expressed purely as shardings.
+_TP_RULES = [
+    (r".*attention/(q_proj|k_proj|v_proj)/kernel$", P(None, None, "model")),
+    (r".*attention/(q_proj|k_proj|v_proj)/bias$", P(None, "model")),
+    (r".*attention/out_proj/kernel$", P(None, "model", None)),
+    (r".*feed_forward/intermediate_dense/kernel$", P(None, None, "model")),
+    (r".*feed_forward/intermediate_dense/bias$", P(None, "model")),
+    (r".*feed_forward/output_dense/kernel$", P(None, "model", None)),
+]
+
+
+def param_sharding_rules(path: str, ndim: int, tensor_parallel: bool) -> P:
+    """PartitionSpec for a parameter, by its flattened path string."""
+    if tensor_parallel:
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, path):
+                return spec
+    return P()  # replicated
+
+
+def shard_params(params, mesh: Mesh, tensor_parallel: Optional[bool] = None):
+    """Apply the layout to a parameter pytree via device_put."""
+    if tensor_parallel is None:
+        tensor_parallel = mesh.shape.get("model", 1) > 1
+
+    def path_str(kp):
+        parts = []
+        for p in kp:
+            if hasattr(p, "key"):
+                parts.append(str(p.key))
+            elif hasattr(p, "idx"):
+                parts.append(str(p.idx))
+            else:
+                parts.append(str(p))
+        return "/".join(parts)
+
+    def place(kp, leaf):
+        spec = param_sharding_rules(path_str(kp), np.ndim(leaf), tensor_parallel)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -1,0 +1,257 @@
+"""End-to-end BCE baseline trainer.
+
+Equivalent of the reference's baseline (reference: baseline_train.py):
+encoder -> compression -> time-mean -> Linear(1) logits, BCE(pos_weight),
+balanced train batches but a natural-distribution dev loader
+(baseline_train.py:331-340), in-loop dev EER via the exact duplicate-score
+threshold sweep (baseline_train.py:114-148), early stop on dev EER with
+patience 10, grad-clip 5.0 over ALL params (baseline_train.py:203).
+
+The reference's AMP (autocast + GradScaler, baseline_train.py:198-206,
+369-371) maps to bf16 compute — bf16 shares fp32's exponent range, so no
+loss scaling is needed on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import BaselineConfig
+from ..data.pipeline import Batch, BatchPipeline, prefetch_to_device
+from ..data.rawboost import RawBoostParams
+from ..eval.metrics import eer_threshold_sweep
+from ..losses import bce_logits_loss
+from ..models.compression import CompressionModule, clip_embedding
+from ..models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+from ..ops.rawboost import rawboost_batch_device
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from . import checkpoint as ckpt
+
+__all__ = ["BaselineState", "BaselineTrainer"]
+
+
+@flax.struct.dataclass
+class BaselineState:
+    params: Any          # {'compression', 'classifier', ['encoder']}
+    frozen: Any          # {'encoder'} when frozen
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+class BaselineTrainer:
+    def __init__(
+        self,
+        cfg: BaselineConfig,
+        enc_config: Optional[Wav2Vec2Config] = None,
+        enc_params: Optional[Dict] = None,
+        mesh=None,
+        pos_weight: float = 1.0,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.enc_config = (enc_config or Wav2Vec2Config()).with_(
+            dtype=dtype, remat=cfg.remat_encoder
+        )
+        self.encoder = Wav2Vec2Encoder(self.enc_config)
+        self.compression = CompressionModule(
+            input_dim=cfg.input_dim, hidden_dim=cfg.hidden_dim,
+            dropout_rate=cfg.dropout,
+        )
+        self.pos_weight = pos_weight if cfg.use_pos_weight else None
+        self.rawboost_params = RawBoostParams(
+            sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob
+        )
+        self._enc_params_init = enc_params
+        self._build_steps()
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> BaselineState:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+        k_enc, k_comp, k_cls, k_run = jax.random.split(rng, 4)
+        t = cfg.max_duration_seconds * cfg.target_sample_rate
+        if self._enc_params_init is not None:
+            enc_params = self._enc_params_init
+        else:
+            enc_params = self.encoder.init(
+                k_enc, jnp.zeros((2, t), jnp.float32)
+            )["params"]
+        comp_params = self.compression.init(
+            k_comp, jnp.zeros((2, 1, cfg.input_dim), jnp.float32)
+        )["params"]
+        import flax.linen as nn
+
+        cls = nn.Dense(1, param_dtype=jnp.float32)
+        cls_params = cls.init(k_cls, jnp.zeros((2, cfg.hidden_dim)))["params"]
+        self._classifier = cls
+
+        trainable = {"compression": comp_params, "classifier": cls_params}
+        frozen = {}
+        if cfg.finetune_encoder:
+            trainable["encoder"] = enc_params
+        else:
+            frozen["encoder"] = enc_params
+
+        # reference param groups: encoder @ enc_lr, the rest @ head_lr;
+        # global-norm clip 5.0 over the whole update (baseline_train.py:203)
+        labels = {k: ("encoder" if k == "encoder" else "head") for k in trainable}
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.multi_transform(
+                {
+                    "head": optax.adamw(cfg.head_lr, weight_decay=cfg.weight_decay),
+                    "encoder": optax.adamw(cfg.enc_lr, weight_decay=cfg.weight_decay),
+                },
+                labels,
+            ),
+        )
+        state = BaselineState(
+            params=trainable, frozen=frozen, opt_state=self.tx.init(trainable),
+            step=jnp.zeros((), jnp.int32), rng=k_run,
+        )
+        rep = replicated(self.mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+    def _logits(self, params: Dict, frozen: Dict, wave: jnp.ndarray,
+                train: bool, rng: jax.Array) -> jnp.ndarray:
+        cfg = self.cfg
+        k_enc, k_comp = jax.random.split(rng)
+        attn = (wave != 0.0).astype(jnp.int32)
+        enc_params = params.get("encoder", frozen.get("encoder"))
+        enc_train = train and cfg.finetune_encoder
+        enc_out = self.encoder.apply(
+            {"params": enc_params}, wave, attn, deterministic=not enc_train,
+            rngs={"dropout": k_enc} if enc_train else None,
+        )
+        seq = self.compression.apply(
+            {"params": params["compression"]}, enc_out["layer_mean"],
+            deterministic=not train,
+            rngs={"dropout": k_comp} if train else None,
+        )
+        pooled = clip_embedding(seq, l2_normalize=False)
+        import flax.linen as nn
+
+        return nn.Dense(1, param_dtype=jnp.float32).apply(
+            {"params": params["classifier"]}, pooled
+        )[..., 0]
+
+    def _build_steps(self) -> None:
+        cfg = self.cfg
+
+        def train_step(state: BaselineState, batch: Dict):
+            rng, k_rb, k_fwd = jax.random.split(state.rng, 3)
+            wave = batch["waveforms"]
+            if cfg.use_rawboost and cfg.rawboost_mode == "device":
+                wave = rawboost_batch_device(
+                    wave, k_rb, cfg.rawboost_prob, self.rawboost_params
+                )
+
+            def loss_fn(params):
+                logits = self._logits(params, state.frozen, wave, True, k_fwd)
+                return bce_logits_loss(logits, batch["labels"], self.pos_weight)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, opt_state=opt_state,
+                                 step=state.step + 1, rng=rng), {"loss": loss}
+
+        def logits_step(state: BaselineState, wave: jnp.ndarray):
+            return self._logits(state.params, state.frozen, wave, False,
+                                jax.random.PRNGKey(0))
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.logits_step = jax.jit(logits_step)
+
+    def _put(self, batches: Iterator[Batch]) -> Iterator[Dict]:
+        sharding = batch_sharding(self.mesh)
+
+        def put(b: Batch) -> Dict:
+            return {
+                "waveforms": jax.device_put(b.waveforms, sharding),
+                "labels": jax.device_put(b.labels, sharding),
+                "valid": b.valid,
+            }
+
+        return prefetch_to_device(batches, put, depth=2)
+
+    def evaluate_dev(self, state: BaselineState, dev_pipe: BatchPipeline
+                     ) -> Tuple[float, float, float]:
+        """-> (dev EER, threshold, accuracy@thresh) over the natural-
+        distribution dev set (reference: baseline_train.py:220-253)."""
+        logits, labels = [], []
+        for batch in self._put(dev_pipe.sequential()):
+            lg = np.asarray(self.logits_step(state, batch["waveforms"]))
+            keep = batch["valid"]
+            logits.append(lg[keep])
+            labels.append(np.asarray(batch["labels"])[keep])
+        logits = np.concatenate(logits)
+        labels = np.concatenate(labels)
+        scores = 1.0 / (1.0 + np.exp(-logits))
+        eer, thresh = eer_threshold_sweep(labels, scores)
+        acc = float(((scores >= thresh).astype(int) == labels).mean())
+        return eer, thresh, acc
+
+    def fit(
+        self,
+        state: BaselineState,
+        train_pipe: BatchPipeline,
+        dev_pipe: BatchPipeline,
+        save_dir: Optional[str] = None,
+        log_fn=print,
+    ) -> Tuple[BaselineState, Dict]:
+        cfg = self.cfg
+        best_eer = float("inf")
+        epochs_no_improve = 0
+        history = {"train_loss": [], "dev_eer": [], "dev_acc": []}
+        for epoch in range(1, cfg.epochs + 1):
+            losses = []
+            for batch in self._put(train_pipe.train_epoch(epoch)):
+                state, metrics = self.train_step(state, batch)
+                losses.append(metrics["loss"])
+            train_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+            dev_eer, thresh, dev_acc = self.evaluate_dev(state, dev_pipe)
+            history["train_loss"].append(train_loss)
+            history["dev_eer"].append(dev_eer)
+            history["dev_acc"].append(dev_acc)
+            log_fn(
+                f"[epoch {epoch:03d}] train_loss={train_loss:.4f} | "
+                f"dev_eer={dev_eer * 100:.2f}% | dev_acc={dev_acc * 100:.2f}% "
+                f"| thresh={thresh:.4f}"
+            )
+            if dev_eer < best_eer:
+                best_eer = dev_eer
+                epochs_no_improve = 0
+                if save_dir is not None:
+                    ckpt.save_checkpoint(
+                        save_dir, "baseline_best", state, cfg.ckpt_config(),
+                        {"epoch": epoch, "dev_eer": dev_eer, "dev_acc": dev_acc},
+                    )
+                    log_fn(f"[epoch {epoch:03d}] ✓ new best dev EER="
+                           f"{best_eer * 100:.2f}%")
+            else:
+                epochs_no_improve += 1
+                if epochs_no_improve >= cfg.patience:
+                    log_fn(f"[EARLY STOP] patience {cfg.patience} reached "
+                           f"(best EER={best_eer * 100:.2f}%)")
+                    break
+        return state, history
+
+    def score_dataset(self, state: BaselineState, pipe: BatchPipeline
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (logits, labels) over a dataset in order, for CM score files
+        (reference: eval_baseline_score_file.py:77-169)."""
+        logits, labels = [], []
+        for batch in self._put(pipe.sequential()):
+            lg = np.asarray(self.logits_step(state, batch["waveforms"]))
+            keep = batch["valid"]
+            logits.append(lg[keep])
+            labels.append(np.asarray(batch["labels"])[keep])
+        return np.concatenate(logits), np.concatenate(labels)

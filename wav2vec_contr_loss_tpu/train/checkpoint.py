@@ -1,0 +1,83 @@
+"""Checkpointing: full train state via Orbax, config embedded as JSON.
+
+Improves on the reference, which saves params-only best checkpoints with no
+optimizer state and no resume path (reference: train_stage1.py:114-129,
+SURVEY.md §5): here `save` persists the complete state (params + optimizer
++ epoch + PRNG key) so crashed runs resume exactly, and the embedded config
+dict keeps the reference's reload contract (stage1_config.py:261-283 read
+back by extract_stage1_embeddings.py:121-125).
+
+Layout:  <dir>/<name>/   (orbax pytree)  +  <dir>/<name>.config.json
+`keep_best` + `latest` naming mirrors the reference's best-by-dev-metric
+policy while always retaining a resumable latest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "load_config",
+           "checkpoint_exists"]
+
+
+_CKPTR = None
+
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def _host_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(directory: str, name: str, state: Any,
+                    config: Optional[Dict] = None,
+                    metrics: Optional[Dict] = None) -> str:
+    """Write <directory>/<name> (atomic: orbax writes tmp then renames)."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.abspath(os.path.join(directory, name))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    c = _checkpointer()
+    c.save(path, _host_tree(state))
+    c.wait_until_finished()  # StandardCheckpointer saves asynchronously
+    sidecar = {"config": config or {}, "metrics": metrics or {}}
+    with open(path + ".config.json", "w") as f:
+        json.dump(sidecar, f, indent=2, default=str)
+    return path
+
+
+def restore_checkpoint(directory: str, name: str,
+                       target: Optional[Any] = None) -> Tuple[Any, Dict]:
+    """-> (state, sidecar dict). Pass `target` (a matching abstract/conc
+    pytree) for safe typed restoration."""
+    path = os.path.abspath(os.path.join(directory, name))
+    state = _checkpointer().restore(path, target) if target is not None else (
+        _checkpointer().restore(path)
+    )
+    sidecar = {}
+    if os.path.exists(path + ".config.json"):
+        with open(path + ".config.json") as f:
+            sidecar = json.load(f)
+    return state, sidecar
+
+
+def load_config(directory: str, name: str) -> Dict:
+    with open(os.path.join(directory, name + ".config.json")) as f:
+        return json.load(f)["config"]
+
+
+def checkpoint_exists(directory: str, name: str) -> bool:
+    return os.path.isdir(os.path.join(directory, name))

@@ -1,0 +1,363 @@
+"""Stage-1 training: SupCon embedding learning (plus variants).
+
+TPU-native re-design of the reference's stage-1 loop
+(reference: train_stage1.py:19-133, stage1_utils.py:102-153):
+
+  * one jitted, donated train step containing — in order — the fused
+    on-device RawBoost augmentation (ops/rawboost.py), the bf16 encoder,
+    the compression head, L2-normalized clip pooling, and the fused SupCon
+    loss. No host round-trips inside the epoch (the reference pays a
+    device->CPU-scipy->device trip per step, stage1_utils.py:53-81);
+  * frozen-encoder mode hoists the encoder forward out of the
+    differentiated closure, so AD never builds an encoder backward;
+  * optax.multi_transform reproduces the reference's param groups: head
+    AdamW @ 5e-3 with global-norm clip 5.0 on the head only, encoder AdamW
+    @ 1e-5 when finetuning (train_stage1.py:93-96, stage1_utils.py:129);
+  * alpha is a traced scalar (no recompile across the ramp);
+  * the global batch is sharded over the mesh 'data' axis; the loss mean
+    over the global batch IS the cross-replica average, so the reference's
+    `_reduce_avg` all-reduce (stage1_utils.py:91-99) disappears into XLA;
+  * full train state (params + optimizer + epoch + PRNG key) checkpoints
+    via Orbax — best-by-dev-loss like the reference (train_stage1.py:114-129)
+    plus an always-resumable 'latest'.
+
+Variants folded in (separate scripts in the reference):
+  * loss_mode='multiclass': attack-id SupCon (train_multiclass_con.py),
+  * from_features=True: train the head on precomputed (N, F, T) encoder
+    features, no audio/encoder in the loop (train_stage1_from_emb.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Stage1Config
+from ..data.pipeline import Batch, BatchPipeline, prefetch_to_device
+from ..data.rawboost import RawBoostParams
+from ..losses import SupConConfig, supcon_binary_loss, supcon_multiclass_loss
+from ..models.compression import CompressionModule, clip_embedding
+from ..models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+from ..ops.rawboost import rawboost_batch_device
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..utils.timing import Throughput
+from . import checkpoint as ckpt
+from .schedule import alpha_for_epoch
+
+__all__ = ["Stage1State", "Stage1Trainer"]
+
+
+@flax.struct.dataclass
+class Stage1State:
+    params: Any          # trainable: {'compression': ..., ['encoder': ...]}
+    frozen: Any          # non-trainable: {'encoder': ...} when frozen
+    opt_state: Any
+    step: jnp.ndarray    # int32
+    rng: jax.Array       # PRNG key threaded through steps
+
+
+def _param_groups(params: Dict) -> Dict:
+    return {k: ("encoder" if k == "encoder" else "head") for k in params}
+
+
+def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransformation:
+    """Reference param groups: head clipped@5.0 + AdamW(head_lr); encoder
+    AdamW(enc_lr); shared weight decay (train_stage1.py:93-96)."""
+    head_tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(cfg.head_lr, weight_decay=cfg.weight_decay),
+    )
+    enc_tx = optax.adamw(cfg.enc_lr, weight_decay=cfg.weight_decay)
+    return optax.multi_transform(
+        {"head": head_tx, "encoder": enc_tx}, _param_groups(params)
+    )
+
+
+class Stage1Trainer:
+    def __init__(
+        self,
+        cfg: Stage1Config,
+        enc_config: Optional[Wav2Vec2Config] = None,
+        enc_params: Optional[Dict] = None,   # e.g. converted HF pretrained
+        mesh=None,
+        loss_mode: str = "binary",           # 'binary' | 'multiclass'
+        from_features: bool = False,
+        multiclass_temperature: float = 0.1,
+    ):
+        self.cfg = cfg
+        self.loss_mode = loss_mode
+        self.from_features = from_features
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_chips = int(np.prod(list(self.mesh.shape.values())))
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if enc_config is None:
+            enc_config = Wav2Vec2Config()
+        self.enc_config = enc_config.with_(dtype=dtype, remat=cfg.remat_encoder)
+        self.encoder = Wav2Vec2Encoder(self.enc_config)
+        self.compression = CompressionModule(
+            input_dim=cfg.input_dim, hidden_dim=cfg.hidden_dim,
+            dropout_rate=cfg.dropout,
+        )
+        self.supcon_cfg = SupConConfig(
+            temperature=cfg.temperature,
+            similarity=cfg.supcon_similarity,
+            topk_neg=cfg.topk_neg,
+            uniformity_weight=cfg.uniformity_weight,
+            uniformity_t=cfg.uniformity_t,
+        )
+        self.multiclass_temperature = multiclass_temperature
+        self.rawboost_params = RawBoostParams(
+            sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob
+        )
+        self._enc_params_init = enc_params
+        self._build_steps()
+
+    # ------------------------------------------------------------- state
+    def init_state(self, rng: Optional[jax.Array] = None) -> Stage1State:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+        k_enc, k_comp, k_run = jax.random.split(rng, 3)
+
+        t = cfg.max_duration_seconds * cfg.target_sample_rate
+        if self.from_features:
+            enc_params = {}
+            feat = jnp.zeros((2, 250, cfg.input_dim), jnp.float32)
+            comp_params = self.compression.init(k_comp, feat)["params"]
+        else:
+            if self._enc_params_init is not None:
+                enc_params = self._enc_params_init
+            else:
+                dummy = jnp.zeros((2, t), jnp.float32)
+                enc_params = self.encoder.init(k_enc, dummy)["params"]
+            frames = jnp.zeros(
+                (2, 1, cfg.input_dim), jnp.float32
+            )  # T=1 is enough to shape the Dense
+            comp_params = self.compression.init(k_comp, frames)["params"]
+
+        trainable = {"compression": comp_params}
+        frozen = {}
+        if not self.from_features:
+            if cfg.finetune_encoder:
+                trainable["encoder"] = enc_params
+            else:
+                frozen["encoder"] = enc_params
+
+        self.tx = build_optimizer(self.cfg, trainable)
+        opt_state = self.tx.init(trainable)
+        state = Stage1State(
+            params=trainable, frozen=frozen, opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32), rng=k_run,
+        )
+        return self._shard_state(state)
+
+    def _shard_state(self, state: Stage1State) -> Stage1State:
+        # XLS-R-300m replicates comfortably; TP layouts go through
+        # parallel.shard_params when mesh 'model' > 1.
+        rep = replicated(self.mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+    # ------------------------------------------------------------- steps
+    def _embed(self, params: Dict, frozen: Dict, batch: Dict,
+               train: bool, rng: jax.Array) -> jnp.ndarray:
+        """waveforms/features -> (B, D) L2-normalized clip embeddings."""
+        cfg = self.cfg
+        k_enc, k_comp = jax.random.split(rng)
+        if self.from_features:
+            layer_mean = batch["features"]
+        else:
+            wave = batch["waveforms"]
+            attn = (wave != 0.0).astype(jnp.int32)  # reference: encoder.py:50-51
+            enc_params = params.get("encoder", frozen.get("encoder"))
+            # frozen encoder stays in eval mode (reference: encoder.py:24-27)
+            enc_train = train and cfg.finetune_encoder
+            enc_out = self.encoder.apply(
+                {"params": enc_params}, wave, attn,
+                deterministic=not enc_train,
+                rngs={"dropout": k_enc} if enc_train else None,
+            )
+            layer_mean = enc_out["layer_mean"]
+        seq = self.compression.apply(
+            {"params": params["compression"]}, layer_mean,
+            deterministic=not train,
+            rngs={"dropout": k_comp} if train else None,
+        )
+        return clip_embedding(seq)
+
+    def _loss(self, z: jnp.ndarray, batch: Dict, alpha: jnp.ndarray) -> jnp.ndarray:
+        if self.loss_mode == "multiclass":
+            return supcon_multiclass_loss(
+                z, batch["multi_labels"], self.multiclass_temperature
+            )
+        return supcon_binary_loss(z, batch["labels"], alpha, self.supcon_cfg)
+
+    def _build_steps(self) -> None:
+        cfg = self.cfg
+
+        def train_step(state: Stage1State, batch: Dict, alpha: jnp.ndarray):
+            rng, k_rb, k_fwd = jax.random.split(state.rng, 3)
+            if (
+                cfg.use_rawboost
+                and cfg.rawboost_mode == "device"
+                and not self.from_features
+            ):
+                batch = dict(batch)
+                batch["waveforms"] = rawboost_batch_device(
+                    batch["waveforms"], k_rb, cfg.rawboost_prob,
+                    self.rawboost_params,
+                )
+
+            frozen = state.frozen
+            if not cfg.finetune_encoder and not self.from_features:
+                # hoist the frozen encoder out of the differentiated closure
+                wave = batch["waveforms"]
+                attn = (wave != 0.0).astype(jnp.int32)
+                enc_out = self.encoder.apply(
+                    {"params": frozen["encoder"]}, wave, attn,
+                    deterministic=True,
+                )
+                feat_batch = {**batch, "features": enc_out["layer_mean"]}
+
+                def loss_fn(params):
+                    k = jax.random.fold_in(k_fwd, 1)
+                    seq = self.compression.apply(
+                        {"params": params["compression"]},
+                        feat_batch["features"], deterministic=False,
+                        rngs={"dropout": k},
+                    )
+                    return self._loss(clip_embedding(seq), batch, alpha)
+            else:
+                def loss_fn(params):
+                    z = self._embed(params, frozen, batch, True, k_fwd)
+                    return self._loss(z, batch, alpha)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params, opt_state=opt_state,
+                step=state.step + 1, rng=rng,
+            )
+            return new_state, {"loss": loss}
+
+        def eval_step(state: Stage1State, batch: Dict):
+            z = self._embed(state.params, state.frozen, batch, False, state.rng)
+            # dev loss always uses alpha = 0 (reference: stage1_utils.py:150)
+            return self._loss(z, batch, jnp.zeros((), jnp.float32))
+
+        def embed_step(params: Dict, frozen: Dict, batch: Dict):
+            return self._embed(params, frozen, batch, False, jax.random.PRNGKey(0))
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.eval_step = jax.jit(eval_step)
+        self.embed_step = jax.jit(embed_step)
+
+    # -------------------------------------------------------------- data
+    def _device_batches(self, batches: Iterator[Batch]) -> Iterator[Dict]:
+        sharding = batch_sharding(self.mesh)
+
+        def put(b: Batch) -> Dict:
+            out = {
+                "waveforms": jax.device_put(b.waveforms, sharding),
+                "labels": jax.device_put(b.labels, sharding),
+                "multi_labels": jax.device_put(b.multi_labels, sharding),
+            }
+            return out
+
+        return prefetch_to_device(batches, put, depth=2)
+
+    # --------------------------------------------------------------- fit
+    def fit(
+        self,
+        state: Stage1State,
+        train_pipe: BatchPipeline,
+        dev_pipe: Optional[BatchPipeline] = None,
+        save_dir: Optional[str] = None,
+        start_epoch: int = 1,
+        log_fn=print,
+    ) -> Tuple[Stage1State, Dict]:
+        """Epoch loop with best-by-dev-loss checkpointing
+        (reference: train_stage1.py:99-133)."""
+        cfg = self.cfg
+        best_dev = float("inf")
+        history = {"train_loss": [], "dev_loss": [], "alpha": [],
+                   "clips_per_sec_per_chip": []}
+
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            alpha = alpha_for_epoch(
+                epoch, cfg.warmup_epochs, cfg.alpha_ramp_epochs, cfg.alpha_end
+            )
+            alpha_dev = jnp.asarray(alpha, jnp.float32)
+            thru = Throughput(cfg.batch_size, self.n_chips)
+            losses = []
+            for batch in self._device_batches(train_pipe.train_epoch(epoch)):
+                thru.start()
+                state, metrics = self.train_step(state, batch, alpha_dev)
+                thru.stop(metrics["loss"])
+                losses.append(metrics["loss"])
+            train_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+
+            dev_loss = float("nan")
+            if dev_pipe is not None:
+                dev_losses = []
+                for batch in self._device_batches(dev_pipe.train_epoch(epoch)):
+                    dev_losses.append(self.eval_step(state, batch))
+                dev_loss = (
+                    float(np.mean(jax.device_get(dev_losses)))
+                    if dev_losses else float("nan")
+                )
+
+            cps = thru.clips_per_sec_per_chip()
+            history["train_loss"].append(train_loss)
+            history["dev_loss"].append(dev_loss)
+            history["alpha"].append(alpha)
+            history["clips_per_sec_per_chip"].append(cps)
+            log_fn(
+                f"[epoch {epoch:03d}] train_loss={train_loss:.4f} | "
+                f"dev_loss={dev_loss:.4f} | alpha={alpha:.3f} | "
+                f"clips/s/chip={cps:.1f}"
+            )
+
+            if save_dir is not None:
+                metrics = {"epoch": epoch, "train_loss": train_loss,
+                           "dev_loss": dev_loss}
+                ckpt.save_checkpoint(save_dir, "latest", state,
+                                     self.cfg.ckpt_config(), metrics)
+                if dev_pipe is None or dev_loss < best_dev:
+                    best_dev = dev_loss if dev_pipe is not None else best_dev
+                    ckpt.save_checkpoint(save_dir, "best", state,
+                                         self.cfg.ckpt_config(), metrics)
+                    log_fn(f"[epoch {epoch:03d}] ✓ new best dev_loss={dev_loss:.4f}")
+
+        return state, history
+
+    # ------------------------------------------------------- extraction
+    def embed_dataset(self, state: Stage1State, pipe: BatchPipeline
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Frozen forward over a dataset -> ((N, D) embeddings, (N,) labels)
+        (reference: extract_stage1_embeddings.py:168-360)."""
+        zs, ys = [], []
+        sharding = batch_sharding(self.mesh)
+        for b in pipe.sequential():
+            wave = jax.device_put(b.waveforms, sharding)
+            z = np.asarray(self.embed_step(state.params, state.frozen,
+                                           {"waveforms": wave}))
+            keep = b.valid
+            zs.append(z[keep])
+            ys.append(b.labels[keep])
+        return np.concatenate(zs), np.concatenate(ys)
+
+    # --------------------------------------------------------- restore
+    def restore(self, save_dir: str, name: str = "best") -> Stage1State:
+        template = jax.tree_util.tree_map(np.asarray, self.init_state())
+        state, _ = ckpt.restore_checkpoint(save_dir, name, template)
+        return self._shard_state(state)

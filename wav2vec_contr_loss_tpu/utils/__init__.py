@@ -1,0 +1,2 @@
+from .seeding import set_seed  # noqa: F401
+from .timing import StepTimer, Throughput  # noqa: F401
