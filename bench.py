@@ -1,0 +1,92 @@
+"""Benchmark: stage-1 SupCon training throughput on the flagship config.
+
+Measures clips/sec/chip for the reference's published sweep configuration —
+XLS-R-300m (315M params), finetune_encoder=1, batch 32, 5 s clips, RawBoost
+on (fused on-device here) — the exact workload whose A40 throughput BASELINE.md
+derives as ~20-30 clips/s (train_stage1.sbatch:71-80, ~13.1 h pipeline).
+
+vs_baseline uses the A40 upper bound (30 clips/s), i.e. the strictest
+comparison.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A40_BASELINE_CLIPS_PER_SEC = 30.0  # BASELINE.md derived upper bound
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_contr_loss_tpu.config import Stage1Config
+    from wav2vec_contr_loss_tpu.models.wav2vec2 import XLSR_300M
+    from wav2vec_contr_loss_tpu.train import Stage1Trainer
+
+    batch_size = 32
+    cfg = Stage1Config(
+        batch_size=batch_size,
+        finetune_encoder=True,
+        use_rawboost=True,
+        rawboost_mode="device",
+        rawboost_prob=0.7,
+        temperature=0.07,
+        compute_dtype="bfloat16",
+        remat_encoder=True,  # fits bs=32 finetune in one v5e's HBM
+    )
+    trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    t = cfg.max_duration_seconds * cfg.target_sample_rate
+    wave = rng.normal(0, 0.2, (batch_size, t)).astype(np.float32)
+    wave[:, 60000:] = 0.0  # realistic zero-padding tail
+    labels = np.array([1, 0] * (batch_size // 2), np.int32)
+    batch = {
+        "waveforms": jnp.asarray(wave),
+        "labels": jnp.asarray(labels),
+        "multi_labels": jnp.asarray(labels),
+    }
+    alpha = jnp.zeros((), jnp.float32)
+
+    # warmup / compile
+    state, metrics = trainer.train_step(state, dict(batch), alpha)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = trainer.train_step(state, dict(batch), alpha)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    clips_per_sec = n_steps * batch_size / dt
+    value = clips_per_sec / n_chips
+    print(json.dumps({
+        "metric": "stage1_supcon_finetune_train_throughput",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(value / A40_BASELINE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # emit a parseable failure record
+        print(json.dumps({
+            "metric": "stage1_supcon_finetune_train_throughput",
+            "value": 0.0,
+            "unit": "clips/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(1)

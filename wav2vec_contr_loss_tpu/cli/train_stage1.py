@@ -1,0 +1,125 @@
+"""Stage-1 SupCon training CLI (reference: train_stage1.py + its config).
+
+Also covers the reference's standalone variants via flags:
+  --loss_mode multiclass      <- train_multiclass_con.py
+  --features_dir ...          <- train_stage1_from_emb.py (precomputed
+                                 (N, F, 250) features, no audio/encoder)
+  --preset supcon_temp_0.07   <- the published sweep presets (BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import EXPERIMENT_PRESETS, Stage1Config, preset
+from ..data import BatchPipeline, RawBoostParams
+from ..train import Stage1Trainer
+from ..utils import set_seed
+from .common import add_asv_paths, add_encoder_args, asv_dataset, build_encoder, save_dir_for
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_encoder_args(p)
+    add_asv_paths(p)
+    p.add_argument("--save_dir", type=str, default="checkpoints_stage1/run")
+    p.add_argument("--preset", type=str, default=None,
+                   choices=sorted(EXPERIMENT_PRESETS))
+    p.add_argument("--supcon_similarity", type=str, default=None,
+                   choices=["cosine", "geodesic"])
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--uniformity_weight", type=float, default=None)
+    p.add_argument("--uniformity_t", type=float, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--num_samples", type=str, default=None)
+    p.add_argument("--head_lr", type=float, default=None)
+    p.add_argument("--enc_lr", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--topk_neg", type=int, default=None)
+    p.add_argument("--warmup_epochs", type=int, default=None)
+    p.add_argument("--alpha_end", type=float, default=None)
+    p.add_argument("--alpha_ramp_epochs", type=int, default=None)
+    p.add_argument("--use_rawboost", type=int, default=None, choices=[0, 1])
+    p.add_argument("--rawboost_prob", type=float, default=None)
+    p.add_argument("--rawboost_mode", type=str, default=None,
+                   choices=["device", "host", "off"])
+    p.add_argument("--finetune_encoder", type=int, default=None, choices=[0, 1])
+    p.add_argument("--remat_encoder", type=int, default=None, choices=[0, 1])
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--loss_mode", type=str, default="binary",
+                   choices=["binary", "multiclass"])
+    p.add_argument("--features_dir", type=str, default=None,
+                   help="train on precomputed features instead of audio")
+    p.add_argument("--max_duration_seconds", type=int, default=None)
+    p.add_argument("--hidden_dim", type=int, default=None)
+    p.add_argument("--input_dim", type=int, default=None)
+    return p
+
+
+def config_from_args(args) -> Stage1Config:
+    cfg = preset(args.preset) if args.preset else Stage1Config()
+    overrides = {}
+    for f in ("supcon_similarity", "temperature", "uniformity_weight",
+              "uniformity_t", "epochs", "batch_size", "head_lr", "enc_lr",
+              "weight_decay", "seed", "topk_neg", "warmup_epochs",
+              "alpha_end", "alpha_ramp_epochs", "rawboost_prob",
+              "rawboost_mode", "max_duration_seconds", "hidden_dim",
+              "input_dim"):
+        v = getattr(args, f)
+        if v is not None:
+            overrides[f] = v
+    for f in ("use_rawboost", "finetune_encoder", "remat_encoder"):
+        v = getattr(args, f)
+        if v is not None:
+            overrides[f] = bool(v)
+    if args.num_samples is not None:
+        ns = args.num_samples.strip().lower()
+        # the reference accepts the literal string "None"
+        # (stage1_config.py:179-183)
+        overrides["num_samples"] = None if ns in ("none", "null") else int(ns)
+    if args.model_name:
+        overrides["model_name"] = args.model_name
+    return cfg.replace(**overrides)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    set_seed(cfg.seed)
+    save_dir = save_dir_for(args.save_dir, cfg.model_name)
+    cfg.print_banner()
+
+    enc_config, enc_params = build_encoder(cfg.model_name, args.encoder_init)
+    trainer = Stage1Trainer(
+        cfg, enc_config=enc_config, enc_params=enc_params,
+        loss_mode=args.loss_mode,
+        from_features=args.features_dir is not None,
+    )
+    state = trainer.init_state()
+
+    rawboost = (
+        RawBoostParams(sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob)
+        if cfg.use_rawboost and cfg.rawboost_mode == "host" else None
+    )
+    train_ds = asv_dataset(args.train_root, args.train_protocol,
+                           cfg.num_samples, seconds=cfg.max_duration_seconds)
+    train_pipe = BatchPipeline(
+        train_ds, cfg.batch_size, seed=cfg.seed, num_workers=args.num_workers,
+        rawboost=rawboost, rawboost_prob=cfg.rawboost_prob,
+    )
+    dev_pipe = None
+    if args.dev_protocol:
+        dev_ds = asv_dataset(args.dev_root, args.dev_protocol, cfg.num_samples,
+                             seconds=cfg.max_duration_seconds)
+        # dev sampler seeded seed+1 like the reference (train_stage1.py)
+        dev_pipe = BatchPipeline(dev_ds, cfg.batch_size, seed=cfg.seed + 1,
+                                 num_workers=args.num_workers)
+
+    trainer.fit(state, train_pipe, dev_pipe, save_dir=save_dir)
+    print(f"==> Stage-1 training complete. Checkpoints in {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

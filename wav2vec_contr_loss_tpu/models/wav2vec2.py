@@ -38,7 +38,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Wav2Vec2Config", "Wav2Vec2Encoder", "feature_frame_length", "XLSR_300M", "LARGE_960H"]
+__all__ = ["Wav2Vec2Config", "Wav2Vec2Encoder", "feature_frame_length",
+           "XLSR_300M", "LARGE_960H", "config_to_dict", "config_from_dict"]
 
 
 @dataclass(frozen=True)
@@ -72,6 +73,22 @@ class Wav2Vec2Config:
     @property
     def num_hidden_states(self) -> int:
         return self.num_layers + 1
+
+
+def config_to_dict(cfg: Wav2Vec2Config) -> dict:
+    """JSON-serializable architecture dict (checkpoint sidecar)."""
+    d = dataclasses.asdict(cfg)
+    d["dtype"] = jnp.dtype(cfg.dtype).name
+    return d
+
+
+def config_from_dict(d: dict) -> Wav2Vec2Config:
+    d = dict(d)
+    d["dtype"] = jnp.dtype(d.get("dtype", "bfloat16"))
+    for k in ("conv_dim", "conv_kernel", "conv_stride"):
+        if k in d:
+            d[k] = tuple(d[k])
+    return Wav2Vec2Config(**d)
 
 
 # facebook/wav2vec2-xls-r-300m — the reference's flagship encoder

@@ -233,6 +233,7 @@ class BaselineTrainer:
                     ckpt.save_checkpoint(
                         save_dir, "baseline_best", state, cfg.ckpt_config(),
                         {"epoch": epoch, "dev_eer": dev_eer, "dev_acc": dev_acc},
+                        self._sidecar_extra(),
                     )
                     log_fn(f"[epoch {epoch:03d}] ✓ new best dev EER="
                            f"{best_eer * 100:.2f}%")
@@ -243,6 +244,35 @@ class BaselineTrainer:
                            f"(best EER={best_eer * 100:.2f}%)")
                     break
         return state, history
+
+    def _sidecar_extra(self) -> Dict:
+        import dataclasses
+
+        from ..models.wav2vec2 import config_to_dict
+
+        return {
+            "enc_config": config_to_dict(self.enc_config),
+            "baseline_config": dataclasses.asdict(self.cfg),
+        }
+
+    def restore(self, save_dir: str, name: str = "baseline_best"
+                ) -> BaselineState:
+        template = jax.tree_util.tree_map(np.asarray, self.init_state())
+        state, _ = ckpt.restore_checkpoint(save_dir, name, template)
+        rep = replicated(self.mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+    @classmethod
+    def from_checkpoint(cls, save_dir: str, name: str = "baseline_best",
+                        mesh=None) -> Tuple["BaselineTrainer", BaselineState]:
+        from ..models.wav2vec2 import config_from_dict
+
+        sidecar = ckpt.load_sidecar(save_dir, name)
+        extra = sidecar["extra"]
+        cfg = BaselineConfig(**extra["baseline_config"])
+        trainer = cls(cfg, enc_config=config_from_dict(extra["enc_config"]),
+                      mesh=mesh)
+        return trainer, trainer.restore(save_dir, name)
 
     def score_dataset(self, state: BaselineState, pipe: BatchPipeline
                       ) -> Tuple[np.ndarray, np.ndarray]:

@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "load_config",
-           "checkpoint_exists"]
+           "load_sidecar", "checkpoint_exists"]
 
 
 _CKPTR = None
@@ -44,8 +44,12 @@ def _host_tree(tree):
 
 def save_checkpoint(directory: str, name: str, state: Any,
                     config: Optional[Dict] = None,
-                    metrics: Optional[Dict] = None) -> str:
-    """Write <directory>/<name> (atomic: orbax writes tmp then renames)."""
+                    metrics: Optional[Dict] = None,
+                    extra: Optional[Dict] = None) -> str:
+    """Write <directory>/<name> (atomic: orbax writes tmp then renames).
+
+    `config` is the reference-parity UPPERCASE dict; `extra` carries
+    framework-side reload data (e.g. the encoder architecture dict)."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.abspath(os.path.join(directory, name))
     if os.path.exists(path):
@@ -53,7 +57,8 @@ def save_checkpoint(directory: str, name: str, state: Any,
     c = _checkpointer()
     c.save(path, _host_tree(state))
     c.wait_until_finished()  # StandardCheckpointer saves asynchronously
-    sidecar = {"config": config or {}, "metrics": metrics or {}}
+    sidecar = {"config": config or {}, "metrics": metrics or {},
+               "extra": extra or {}}
     with open(path + ".config.json", "w") as f:
         json.dump(sidecar, f, indent=2, default=str)
     return path
@@ -74,9 +79,13 @@ def restore_checkpoint(directory: str, name: str,
     return state, sidecar
 
 
-def load_config(directory: str, name: str) -> Dict:
+def load_sidecar(directory: str, name: str) -> Dict:
     with open(os.path.join(directory, name + ".config.json")) as f:
-        return json.load(f)["config"]
+        return json.load(f)
+
+
+def load_config(directory: str, name: str) -> Dict:
+    return load_sidecar(directory, name)["config"]
 
 
 def checkpoint_exists(directory: str, name: str) -> bool:

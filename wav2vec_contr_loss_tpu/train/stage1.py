@@ -159,10 +159,20 @@ class Stage1Trainer:
         return self._shard_state(state)
 
     def _shard_state(self, state: Stage1State) -> Stage1State:
-        # XLS-R-300m replicates comfortably; TP layouts go through
-        # parallel.shard_params when mesh 'model' > 1.
+        # XLS-R-300m replicates comfortably on one v5e; when the mesh has a
+        # 'model' axis > 1 the transformer kernels get the Megatron-style
+        # column/row layout from parallel.param_sharding_rules instead.
+        from ..parallel.mesh import shard_params
+
         rep = replicated(self.mesh)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        params = shard_params(state.params, self.mesh)
+        frozen = shard_params(state.frozen, self.mesh)
+        rest = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep),
+            (state.opt_state, state.step, state.rng),
+        )
+        return Stage1State(params=params, frozen=frozen, opt_state=rest[0],
+                           step=rest[1], rng=rest[2])
 
     # ------------------------------------------------------------- steps
     def _embed(self, params: Dict, frozen: Dict, batch: Dict,
@@ -330,12 +340,13 @@ class Stage1Trainer:
             if save_dir is not None:
                 metrics = {"epoch": epoch, "train_loss": train_loss,
                            "dev_loss": dev_loss}
+                extra = self._sidecar_extra()
                 ckpt.save_checkpoint(save_dir, "latest", state,
-                                     self.cfg.ckpt_config(), metrics)
+                                     self.cfg.ckpt_config(), metrics, extra)
                 if dev_pipe is None or dev_loss < best_dev:
                     best_dev = dev_loss if dev_pipe is not None else best_dev
                     ckpt.save_checkpoint(save_dir, "best", state,
-                                         self.cfg.ckpt_config(), metrics)
+                                         self.cfg.ckpt_config(), metrics, extra)
                     log_fn(f"[epoch {epoch:03d}] ✓ new best dev_loss={dev_loss:.4f}")
 
         return state, history
@@ -357,7 +368,38 @@ class Stage1Trainer:
         return np.concatenate(zs), np.concatenate(ys)
 
     # --------------------------------------------------------- restore
+    def _sidecar_extra(self) -> Dict:
+        from ..models.wav2vec2 import config_to_dict
+
+        return {
+            "enc_config": config_to_dict(self.enc_config),
+            "stage1_config": dataclasses.asdict(self.cfg),
+            "loss_mode": self.loss_mode,
+            "from_features": self.from_features,
+        }
+
     def restore(self, save_dir: str, name: str = "best") -> Stage1State:
         template = jax.tree_util.tree_map(np.asarray, self.init_state())
         state, _ = ckpt.restore_checkpoint(save_dir, name, template)
         return self._shard_state(state)
+
+    @classmethod
+    def from_checkpoint(cls, save_dir: str, name: str = "best", mesh=None
+                        ) -> Tuple["Stage1Trainer", Stage1State]:
+        """Rebuild trainer + state purely from a checkpoint directory — the
+        reload contract the reference implements via config dicts embedded
+        in .pt files (extract_stage1_embeddings.py:121-145)."""
+        from ..models.wav2vec2 import config_from_dict
+
+        sidecar = ckpt.load_sidecar(save_dir, name)
+        extra = sidecar["extra"]
+        cfg = Stage1Config(**extra["stage1_config"])
+        trainer = cls(
+            cfg,
+            enc_config=config_from_dict(extra["enc_config"]),
+            mesh=mesh,
+            loss_mode=extra.get("loss_mode", "binary"),
+            from_features=extra.get("from_features", False),
+        )
+        state = trainer.restore(save_dir, name)
+        return trainer, state

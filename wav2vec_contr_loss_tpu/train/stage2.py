@@ -40,6 +40,7 @@ def _batchify(x: np.ndarray, y: np.ndarray, batch_size: int, rng=None):
     """-> (steps, B, ...) device-ready stacks; tail dropped when shuffled
     (train) or zero-padded + masked (eval)."""
     n = x.shape[0]
+    batch_size = min(batch_size, n)  # tiny datasets: shrink, don't starve
     if rng is not None:
         order = rng.permutation(n)
         x, y = x[order], y[order]
