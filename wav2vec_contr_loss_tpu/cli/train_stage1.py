@@ -91,11 +91,31 @@ def main(argv=None) -> None:
     save_dir = save_dir_for(args.save_dir, cfg.model_name)
     cfg.print_banner()
 
+    if args.features_dir is not None:
+        # precomputed-feature variant (reference: train_stage1_from_emb.py)
+        import numpy as np
+
+        trainer = Stage1Trainer(cfg, loss_mode=args.loss_mode,
+                                from_features=True)
+        state = trainer.init_state()
+        fdir = args.features_dir
+        feats = np.load(f"{fdir}/train_features.npy", mmap_mode="r")
+        labels = np.load(f"{fdir}/train_feature_labels.npy")
+        dev_feats = dev_labels = None
+        try:
+            dev_feats = np.load(f"{fdir}/dev_features.npy", mmap_mode="r")
+            dev_labels = np.load(f"{fdir}/dev_feature_labels.npy")
+        except FileNotFoundError:
+            pass
+        trainer.fit_from_features(state, feats, labels, dev_feats, dev_labels,
+                                  save_dir=save_dir)
+        print(f"==> Stage-1 (from features) complete. Checkpoints in {save_dir}")
+        return
+
     enc_config, enc_params = build_encoder(cfg.model_name, args.encoder_init)
     trainer = Stage1Trainer(
         cfg, enc_config=enc_config, enc_params=enc_params,
         loss_mode=args.loss_mode,
-        from_features=args.features_dir is not None,
     )
     state = trainer.init_state()
 

@@ -351,6 +351,85 @@ class Stage1Trainer:
 
         return state, history
 
+    def fit_from_features(
+        self,
+        state: Stage1State,
+        features: np.ndarray,       # (N, F, T) possibly memmapped
+        labels: np.ndarray,         # (N,) binary
+        dev_features: Optional[np.ndarray] = None,
+        dev_labels: Optional[np.ndarray] = None,
+        multi_labels: Optional[np.ndarray] = None,
+        save_dir: Optional[str] = None,
+        log_fn=print,
+    ) -> Tuple[Stage1State, Dict]:
+        """Head-only training on precomputed encoder features
+        (reference: train_stage1_from_emb.py:116-229). Features stay
+        memmapped on disk; each balanced batch gathers its rows and ships
+        (B, T, F) to the device."""
+        from ..data.sampler import BalancedBatchSampler
+
+        cfg = self.cfg
+        assert self.from_features, "construct the trainer with from_features=True"
+        sampler = BalancedBatchSampler(labels, cfg.batch_size, seed=cfg.seed)
+        dev_sampler = (
+            BalancedBatchSampler(dev_labels, cfg.batch_size, seed=cfg.seed + 1)
+            if dev_labels is not None else None
+        )
+        best_dev = float("inf")
+        history = {"train_loss": [], "dev_loss": [], "alpha": []}
+
+        def batch_for(feats, labs, multi, idx):
+            x = np.asarray(feats[idx]).transpose(0, 2, 1)  # (B, T, F)
+            return {
+                "features": jnp.asarray(x, jnp.float32),
+                "labels": jnp.asarray(labs[idx], jnp.int32),
+                "multi_labels": jnp.asarray(
+                    (multi if multi is not None else labs)[idx], jnp.int32
+                ),
+            }
+
+        for epoch in range(1, cfg.epochs + 1):
+            alpha = alpha_for_epoch(
+                epoch, cfg.warmup_epochs, cfg.alpha_ramp_epochs, cfg.alpha_end
+            )
+            alpha_dev = jnp.asarray(alpha, jnp.float32)
+            losses = []
+            for idx in sampler.epoch_batches(epoch):
+                state, metrics = self.train_step(
+                    state, batch_for(features, labels, multi_labels, idx),
+                    alpha_dev,
+                )
+                losses.append(metrics["loss"])
+            train_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+
+            dev_loss = float("nan")
+            if dev_sampler is not None:
+                dls = [
+                    self.eval_step(
+                        state, batch_for(dev_features, dev_labels, None, idx)
+                    )
+                    for idx in dev_sampler.epoch_batches(epoch)
+                ]
+                dev_loss = float(np.mean(jax.device_get(dls))) if dls else float("nan")
+
+            history["train_loss"].append(train_loss)
+            history["dev_loss"].append(dev_loss)
+            history["alpha"].append(alpha)
+            log_fn(f"[epoch {epoch:03d}] train_loss={train_loss:.4f} | "
+                   f"dev_loss={dev_loss:.4f} | alpha={alpha:.3f}")
+            if save_dir is not None:
+                metrics = {"epoch": epoch, "train_loss": train_loss,
+                           "dev_loss": dev_loss}
+                extra = self._sidecar_extra()
+                ckpt.save_checkpoint(save_dir, "latest", state,
+                                     cfg.ckpt_config(), metrics, extra)
+                if dev_sampler is None or dev_loss < best_dev:
+                    if dev_sampler is not None:
+                        best_dev = dev_loss
+                    ckpt.save_checkpoint(save_dir, "best", state,
+                                         cfg.ckpt_config(), metrics, extra)
+        return state, history
+
     # ------------------------------------------------------- extraction
     def embed_dataset(self, state: Stage1State, pipe: BatchPipeline
                       ) -> Tuple[np.ndarray, np.ndarray]:
