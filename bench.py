@@ -23,7 +23,17 @@ A40_BASELINE_CLIPS_PER_SEC = 30.0  # BASELINE.md derived upper bound
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from wav2vec_contr_loss_tpu.config import Stage1Config
@@ -56,16 +66,20 @@ def main() -> None:
     }
     alpha = jnp.zeros((), jnp.float32)
 
-    # warmup / compile
+    # warmup / compile. NOTE: force a real host fetch — on the remote axon
+    # backend block_until_ready can return before execution completes, so
+    # float() (a device->host value transfer) is the only reliable sync.
     state, metrics = trainer.train_step(state, dict(batch), alpha)
-    jax.block_until_ready(metrics["loss"])
+    warm_loss = float(metrics["loss"])
+    assert np.isfinite(warm_loss), f"warmup loss {warm_loss}"
 
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = trainer.train_step(state, dict(batch), alpha)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])  # forces the whole chained sequence
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     n_chips = jax.device_count()
     clips_per_sec = n_steps * batch_size / dt

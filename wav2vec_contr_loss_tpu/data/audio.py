@@ -125,11 +125,25 @@ def _native_decoder():
         if _NATIVE_TRIED:
             return _NATIVE
         _NATIVE_TRIED = True
-        so = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                          "libw2vaudio.so")
-        so = os.path.abspath(so)
+        native_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "..", "native")
+        )
+        so = os.path.join(native_dir, "libw2vaudio.so")
         if not os.path.exists(so):
-            return None
+            # build on demand when the source tree + toolchain are present
+            src = os.path.join(native_dir, "w2vaudio.cpp")
+            if os.path.exists(src):
+                import subprocess
+
+                try:
+                    subprocess.run(
+                        ["make", "-C", native_dir], check=True,
+                        capture_output=True, timeout=120,
+                    )
+                except Exception:
+                    return None
+            if not os.path.exists(so):
+                return None
         import ctypes
 
         lib = ctypes.CDLL(so)
