@@ -83,6 +83,7 @@ class Stage1Config:
 
     compute_dtype: str = "bfloat16"     # encoder matmul dtype; loss is fp32
     remat_encoder: bool = False
+    supcon_impl: str = "xla"            # 'xla' | 'pallas' (fused kernel)
 
     def replace(self, **kw) -> "Stage1Config":
         return dataclasses.replace(self, **kw)

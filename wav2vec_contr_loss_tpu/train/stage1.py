@@ -206,6 +206,12 @@ class Stage1Trainer:
             return supcon_multiclass_loss(
                 z, batch["multi_labels"], self.multiclass_temperature
             )
+        if self.cfg.supcon_impl == "pallas":
+            from ..ops.supcon_pallas import supcon_binary_loss_pallas
+
+            return supcon_binary_loss_pallas(
+                z, batch["labels"], alpha, self.supcon_cfg
+            )
         return supcon_binary_loss(z, batch["labels"], alpha, self.supcon_cfg)
 
     def _build_steps(self) -> None:
