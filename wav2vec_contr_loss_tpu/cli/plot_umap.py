@@ -20,10 +20,23 @@ def main(argv=None) -> None:
     p.add_argument("--out_dir", type=str, default="plots")
     p.add_argument("--multi_labels", type=str, default=None,
                    help=".npy of attack-id classes for per-attack coloring")
+    p.add_argument("--subspace", action="store_true",
+                   help="plot pre-compression encoder features instead: "
+                        "(N, F, 250) layer-mean features -> time-mean -> L2 "
+                        "(reference: plot_subspace_umap_asv.py:145-151)")
     p.add_argument("--seed", type=int, default=1337)
     args = p.parse_args(argv)
 
-    embs, labels = load_embeddings(args.emb_dir, args.split)
+    if args.subspace:
+        feats = np.load(os.path.join(args.emb_dir,
+                                     f"{args.split}_features.npy"),
+                        mmap_mode="r")
+        labels = np.load(os.path.join(args.emb_dir,
+                                      f"{args.split}_feature_labels.npy"))
+        embs = np.asarray(feats).mean(axis=2)           # time-mean
+        embs /= np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
+    else:
+        embs, labels = load_embeddings(args.emb_dir, args.split)
     if args.multi_labels:
         labels = np.load(args.multi_labels)
         names = None

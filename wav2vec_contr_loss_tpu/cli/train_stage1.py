@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_duration_seconds", type=int, default=None)
     p.add_argument("--hidden_dim", type=int, default=None)
     p.add_argument("--input_dim", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the 'latest' checkpoint in save_dir "
+                        "(full train state incl. optimizer + PRNG)")
     return p
 
 
@@ -117,7 +120,20 @@ def main(argv=None) -> None:
         cfg, enc_config=enc_config, enc_params=enc_params,
         loss_mode=args.loss_mode,
     )
-    state = trainer.init_state()
+    start_epoch = 1
+    if args.resume:
+        from ..train.checkpoint import checkpoint_exists, load_sidecar
+
+        if checkpoint_exists(save_dir, "latest"):
+            state = trainer.restore(save_dir, "latest")
+            start_epoch = int(load_sidecar(save_dir, "latest")
+                              ["metrics"]["epoch"]) + 1
+            print(f"[RESUME] continuing from epoch {start_epoch}")
+        else:
+            print("[RESUME] no 'latest' checkpoint found; starting fresh")
+            state = trainer.init_state()
+    else:
+        state = trainer.init_state()
 
     rawboost = (
         RawBoostParams(sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob)
@@ -137,7 +153,8 @@ def main(argv=None) -> None:
         dev_pipe = BatchPipeline(dev_ds, cfg.batch_size, seed=cfg.seed + 1,
                                  num_workers=args.num_workers)
 
-    trainer.fit(state, train_pipe, dev_pipe, save_dir=save_dir)
+    trainer.fit(state, train_pipe, dev_pipe, save_dir=save_dir,
+                start_epoch=start_epoch)
     print(f"==> Stage-1 training complete. Checkpoints in {save_dir}")
 
 

@@ -35,6 +35,11 @@ class Batch:
     labels: np.ndarray        # (B,) int32, 1 = bonafide
     multi_labels: np.ndarray  # (B,) int32 attack-id classes
     valid: np.ndarray         # (B,) bool, False on eval-tail padding
+    # host-side metadata (the reference's collate variants zip these
+    # through, reference: collate.py:4-86); never shipped to device
+    speakers: tuple = ()
+    sources: tuple = ()
+    names: tuple = ()
 
     @property
     def size(self) -> int:
@@ -100,17 +105,23 @@ class BatchPipeline:
             lambda i: self.dataset.loader.load(self.dataset.utterances[i].path),
             real,
         ))
+        speakers, sources, names = [], [], []
         for slot, (i, w) in enumerate(zip(real, loaded)):
             waves[slot, : w.shape[0]] = w[:t]
             labels[slot] = self._labels[i]
             multi[slot] = self._multi[i]
             valid[slot] = True
+            utt = self.dataset.utterances[i]
+            speakers.append(utt.speaker)
+            sources.append(utt.source)
+            names.append(utt.name)
 
         if self.rawboost is not None and rng is not None:
             waves = apply_rawboost_batch(
                 waves, rng, self.rawboost, prob=self.rawboost_prob
             )
-        return Batch(waves, labels, multi, valid)
+        return Batch(waves, labels, multi, valid,
+                     tuple(speakers), tuple(sources), tuple(names))
 
     def train_epoch(self, epoch: int) -> Iterator[Batch]:
         """Balanced batches for one epoch; host RawBoost (if configured) is

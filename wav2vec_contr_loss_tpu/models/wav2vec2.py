@@ -66,6 +66,10 @@ class Wav2Vec2Config:
     mask_time_length: int = 10
     dtype: jnp.dtype = jnp.bfloat16      # compute dtype; params stay fp32
     remat: bool = False                  # rematerialize encoder layers
+    # 'full' recomputes everything in the bwd pass; 'dots' keeps matmul
+    # outputs resident (jax.checkpoint dots_with_no_batch_dims_saveable) —
+    # less memory saving, much cheaper recompute
+    remat_policy: str = "full"
 
     def with_(self, **kw) -> "Wav2Vec2Config":
         return dataclasses.replace(self, **kw)
@@ -364,7 +368,14 @@ class Wav2Vec2Encoder(nn.Module):
                 ys = h_out if collect_all else 0
                 return (h_out, acc), ys
 
-        body_cls = nn.remat(_Body, prevent_cse=False) if cfg.remat else _Body
+        if cfg.remat:
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if cfg.remat_policy == "dots" else None
+            )
+            body_cls = nn.remat(_Body, prevent_cse=False, policy=policy)
+        else:
+            body_cls = _Body
         ScanBody = nn.scan(
             body_cls,
             variable_axes={"params": 0},

@@ -100,7 +100,10 @@ class Stage1Trainer:
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if enc_config is None:
             enc_config = Wav2Vec2Config()
-        self.enc_config = enc_config.with_(dtype=dtype, remat=cfg.remat_encoder)
+        self.enc_config = enc_config.with_(
+            dtype=dtype, remat=cfg.remat_encoder,
+            remat_policy=getattr(cfg, "remat_policy", "full"),
+        )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
             input_dim=cfg.input_dim, hidden_dim=cfg.hidden_dim,
