@@ -49,7 +49,8 @@ def main() -> None:
         rawboost_prob=0.7,
         temperature=0.07,
         compute_dtype="bfloat16",
-        remat_encoder=True,  # fits bs=32 finetune in one v5e's HBM
+        remat_encoder=True,       # fits bs=32 finetune in one v5e's HBM
+        remat_policy="dots",      # keep matmul outputs: +10% vs full remat
     )
     trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
     state = trainer.init_state(jax.random.PRNGKey(0))

@@ -1,0 +1,85 @@
+"""Config tree: the 16 published experiment presets must encode exactly the
+hyperparameters of the reference sweep (BASELINE.md / train_stage1.sbatch:
+finetune, bs=32, 100 epochs, warmup==epochs so alpha==0)."""
+
+import pytest
+
+from wav2vec_contr_loss_tpu.config import (
+    EXPERIMENT_PRESETS,
+    BaselineConfig,
+    Stage1Config,
+    Stage2Config,
+    preset,
+    run_tag,
+)
+
+
+def test_preset_count_and_sweep_invariants():
+    assert len(EXPERIMENT_PRESETS) == 16
+    for name, cfg in EXPERIMENT_PRESETS.items():
+        assert cfg.finetune_encoder, name
+        assert cfg.epochs == 100 and cfg.warmup_epochs == 100, name
+        assert cfg.batch_size == (64 if name.endswith("batch_64") else 32), name
+        assert cfg.model_name == "facebook/wav2vec2-xls-r-300m"
+        assert cfg.use_rawboost and cfg.rawboost_prob == 0.7
+
+
+@pytest.mark.parametrize("name,temp,sim,uni", [
+    ("supcon", 0.2, "cosine", 0.0),
+    ("supcon_temp_0.05", 0.05, "cosine", 0.0),
+    ("supcon_temp_0.07", 0.07, "cosine", 0.0),
+    ("supcon_temp_0.07_batch_64", 0.07, "cosine", 0.0),
+    ("supcon_temp_0.1", 0.1, "cosine", 0.0),
+    ("supcon_temp_0.6", 0.6, "cosine", 0.0),
+    ("supcon_geodesic", 0.2, "geodesic", 0.0),
+    ("supcon_geodesic_temp_0.05", 0.05, "geodesic", 0.0),
+    ("supcon_geodesic_temp_0.07", 0.07, "geodesic", 0.0),
+    ("supcon_geodesic_temp_0.1", 0.1, "geodesic", 0.0),
+    ("supcon_geodesic_temp_0.6", 0.6, "geodesic", 0.0),
+    ("supcon_uniformity", 0.2, "cosine", 0.2),
+    ("supcon_uniformity_weight_0.01", 0.2, "cosine", 0.01),
+    ("supcon_uniformity_weight_0.05", 0.2, "cosine", 0.05),
+    ("supcon_uniformity_weight_0.1", 0.2, "cosine", 0.1),
+    ("supcon_uniformity_weight_0.6", 0.2, "cosine", 0.6),
+])
+def test_preset_hyperparameters(name, temp, sim, uni):
+    cfg = preset(name)
+    assert cfg.temperature == temp
+    assert cfg.supcon_similarity == sim
+    assert cfg.uniformity_weight == uni
+
+
+def test_preset_unknown():
+    with pytest.raises(KeyError):
+        preset("nope")
+
+
+def test_run_tag():
+    assert run_tag("facebook/wav2vec2-xls-r-300m") == "facebook__wav2vec2-xls-r-300m"
+
+
+def test_ckpt_config_contract():
+    """The UPPERCASE keys downstream reload code depends on
+    (reference: stage1_config.py:261-283, generate_eval_score_file.py:99-104)."""
+    s1 = Stage1Config().ckpt_config()
+    for key in ("MODEL_NAME", "INPUT_DIM", "HIDDEN_DIM", "DROPOUT",
+                "TEMPERATURE", "TOPK_NEG", "SUPCON_SIMILARITY",
+                "FINETUNE_ENCODER", "UNIFORMITY_WEIGHT"):
+        assert key in s1
+    s2 = Stage2Config().ckpt_config()
+    for key in ("HEAD_TYPE", "IN_DIM", "HIDDEN_DIM", "DROPOUT"):
+        assert key in s2
+    bl = BaselineConfig().ckpt_config()
+    assert bl["FINETUNE_ENCODER"] is True
+
+
+def test_print_banner_format(capsys):
+    Stage1Config().print_banner()
+    out = capsys.readouterr().out
+    assert out.startswith("=== CONFIG ===")
+    assert "MODEL_NAME=facebook/wav2vec2-xls-r-300m" in out
+    assert "SUPCON_SIMILARITY=cosine" in out
+    assert out.rstrip().endswith("=============")
+    # non-zero rank prints nothing (reference: stage1_config.py:224-225)
+    Stage1Config().print_banner(rank=1)
+    assert capsys.readouterr().out == ""
