@@ -106,6 +106,40 @@ def test_binary_classification_metrics_against_sklearn(rng):
     assert eer == pytest.approx(ref_eer, abs=2e-3)
 
 
+def test_tdcf_matches_reference_implementation(reference_dir, rng):
+    """Full t-DCF curve vs the reference's implementation, imported as an
+    oracle (evaluation.py:83-255)."""
+    import importlib.util
+    import os
+    import sys
+
+    path = os.path.join(reference_dir, "evaluation.py")
+    spec = importlib.util.spec_from_file_location("ref_eval", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_eval"] = mod
+    spec.loader.exec_module(mod)
+
+    bona = rng.normal(1.5, 1.0, 400)
+    spoof = rng.normal(-1.5, 1.2, 700)
+    cm = metrics.ASVSPOOF2019_COST_MODEL
+    cost_model = dict(Ptar=cm.Ptar, Pnon=cm.Pnon, Pspoof=cm.Pspoof,
+                      Cmiss_asv=cm.Cmiss_asv, Cfa_asv=cm.Cfa_asv,
+                      Cmiss_cm=cm.Cmiss_cm, Cfa_cm=cm.Cfa_cm)
+    want_tdcf, want_thr = mod.compute_tDCF(
+        bona, spoof, 0.05, 0.02, 0.85, cost_model, print_cost=False
+    )
+    got_tdcf, got_thr = metrics.compute_tdcf(bona, spoof, 0.05, 0.02, 0.85, cm)
+    np.testing.assert_allclose(got_tdcf, want_tdcf, rtol=1e-12)
+    np.testing.assert_allclose(got_thr, want_thr, rtol=1e-12)
+
+    # DET curves bit-exact too
+    f1, a1, t1 = mod.compute_det_curve(bona, spoof)
+    f2, a2, t2 = metrics.compute_det_curve(bona, spoof)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+
+
 def test_obtain_asv_error_rates():
     tar = np.array([1.0, 2.0, 3.0, 4.0])
     non = np.array([-1.0, 0.5, 2.5])
