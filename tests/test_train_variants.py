@@ -73,6 +73,23 @@ def test_multiclass_mode(feature_data):
     assert np.isfinite(hist["train_loss"]).all()
 
 
+def test_pallas_supcon_impl_training(feature_data):
+    """supcon_impl='pallas' trains identically (interpreter mode on CPU)."""
+    feats, labels = feature_data
+    base = Stage1Config(
+        epochs=1, batch_size=8, input_dim=24, hidden_dim=8,
+        use_rawboost=False, compute_dtype="float32", seed=0,
+    )
+    losses = {}
+    for impl in ("xla", "pallas"):
+        trainer = Stage1Trainer(base.replace(supcon_impl=impl),
+                                from_features=True)
+        state = trainer.init_state()
+        _, hist = trainer.fit_from_features(state, feats, labels)
+        losses[impl] = hist["train_loss"][0]
+    assert losses["pallas"] == pytest.approx(losses["xla"], rel=1e-4)
+
+
 def test_host_rawboost_pipeline(tmp_path):
     """rawboost_mode='host': augmentation happens in the input pipeline
     (faithful reference behavior, stage1_utils.py:53-81)."""
