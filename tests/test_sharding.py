@@ -117,6 +117,17 @@ def test_tp_layout_applied():
     assert tuple(spec) == (None, None, "model")
 
 
+def test_global_batch_from_local_single_process():
+    from wav2vec_contr_loss_tpu.parallel import global_batch_from_local
+
+    mesh = make_mesh()
+    batch = {"waveforms": np.zeros((16, 100), np.float32),
+             "labels": np.arange(16, dtype=np.int32)}
+    out = global_batch_from_local(mesh, batch)
+    assert out["waveforms"].sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(out["labels"]), batch["labels"])
+
+
 def test_global_loss_equals_replica_average():
     """Data-sharded loss == the reference's _reduce_avg semantics: the
     global-batch mean is identical whether computed sharded or locally."""

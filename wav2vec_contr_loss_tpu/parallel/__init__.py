@@ -1,5 +1,6 @@
 from .mesh import (  # noqa: F401
     batch_sharding,
+    global_batch_from_local,
     make_mesh,
     param_sharding_rules,
     replicated,

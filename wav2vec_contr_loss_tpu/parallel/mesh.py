@@ -59,6 +59,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def global_batch_from_local(mesh: Mesh, local_arrays):
+    """Assemble a global data-sharded batch from per-process local slices.
+
+    Multi-host: each process feeds its `jax.process_index()` slice of the
+    same deterministic global balanced batch (data/sampler.py 'global'
+    mode); `jax.make_array_from_process_local_data` stitches the global
+    array without any cross-host data movement. Single-process: a plain
+    sharded device_put.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), local_arrays
+        )
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_arrays,
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
