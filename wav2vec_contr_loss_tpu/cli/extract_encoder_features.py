@@ -9,7 +9,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from ..data import AudioConfig, BatchPipeline, RawBoostParams
+from ..data import BatchPipeline, RawBoostParams
 from ..eval.extract import extract_encoder_features
 from ..models.wav2vec2 import Wav2Vec2Encoder
 from .common import add_asv_paths, add_encoder_args, asv_dataset, build_encoder

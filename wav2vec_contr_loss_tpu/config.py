@@ -12,7 +12,7 @@ checkpoints as the reload contract (stage1_config.py:261-283).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 __all__ = [

@@ -26,7 +26,6 @@ import os
 import threading
 import wave
 from dataclasses import dataclass
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 

@@ -70,6 +70,10 @@ class Wav2Vec2Config:
     # outputs resident (jax.checkpoint dots_with_no_batch_dims_saveable) —
     # less memory saving, much cheaper recompute
     remat_policy: str = "full"
+    # lax.scan unroll factor for the layer stack: >1 trades compile time for
+    # removing per-iteration dynamic-slice/update overhead on the stacked
+    # params (profiling showed ~10% of step time there at unroll=1)
+    scan_unroll: int = 1
 
     def with_(self, **kw) -> "Wav2Vec2Config":
         return dataclasses.replace(self, **kw)
@@ -381,6 +385,7 @@ class Wav2Vec2Encoder(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=cfg.num_layers,
+            unroll=max(1, min(cfg.scan_unroll, cfg.num_layers)),
         )
         acc0 = hidden.astype(jnp.float32)
         (h_last, acc), ys = ScanBody(cfg, name="layers")(

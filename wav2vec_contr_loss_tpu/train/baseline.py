@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Iterator, Optional, Tuple
 
+import flax.linen as nn
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -86,8 +87,6 @@ class BaselineTrainer:
         comp_params = self.compression.init(
             k_comp, jnp.zeros((2, 1, cfg.input_dim), jnp.float32)
         )["params"]
-        import flax.linen as nn
-
         cls = nn.Dense(1, param_dtype=jnp.float32)
         cls_params = cls.init(k_cls, jnp.zeros((2, cfg.hidden_dim)))["params"]
         self._classifier = cls
@@ -136,8 +135,6 @@ class BaselineTrainer:
             rngs={"dropout": k_comp} if train else None,
         )
         pooled = clip_embedding(seq, l2_normalize=False)
-        import flax.linen as nn
-
         return nn.Dense(1, param_dtype=jnp.float32).apply(
             {"params": params["classifier"]}, pooled
         )[..., 0]

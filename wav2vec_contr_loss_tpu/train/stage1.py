@@ -30,7 +30,6 @@ Variants folded in (separate scripts in the reference):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import flax.struct
