@@ -51,6 +51,7 @@ def main() -> None:
         compute_dtype="bfloat16",
         remat_encoder=True,       # fits bs=32 finetune in one v5e's HBM
         remat_policy="dots",      # keep matmul outputs: +10% vs full remat
+        scan_unroll=24,           # fully unroll the layer scan: +12% more
     )
     trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
     state = trainer.init_state(jax.random.PRNGKey(0))

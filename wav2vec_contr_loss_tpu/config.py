@@ -84,6 +84,7 @@ class Stage1Config:
     compute_dtype: str = "bfloat16"     # encoder matmul dtype; loss is fp32
     remat_encoder: bool = False
     remat_policy: str = "full"          # 'full' | 'dots' (keep matmul outputs)
+    scan_unroll: int = 1                # encoder layer-scan unroll factor
     supcon_impl: str = "xla"            # 'xla' | 'pallas' (fused kernel)
 
     def replace(self, **kw) -> "Stage1Config":

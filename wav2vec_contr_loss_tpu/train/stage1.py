@@ -102,6 +102,7 @@ class Stage1Trainer:
         self.enc_config = enc_config.with_(
             dtype=dtype, remat=cfg.remat_encoder,
             remat_policy=getattr(cfg, "remat_policy", "full"),
+            scan_unroll=getattr(cfg, "scan_unroll", 1),
         )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
