@@ -215,6 +215,8 @@ class BaselineConfig:
 
     compute_dtype: str = "bfloat16"     # the AMP equivalent; no GradScaler
     remat_encoder: bool = False
+    remat_policy: str = "full"
+    scan_unroll: int = 1
 
     def replace(self, **kw) -> "BaselineConfig":
         return dataclasses.replace(self, **kw)

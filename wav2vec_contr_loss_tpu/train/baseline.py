@@ -59,7 +59,9 @@ class BaselineTrainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.enc_config = (enc_config or Wav2Vec2Config()).with_(
-            dtype=dtype, remat=cfg.remat_encoder
+            dtype=dtype, remat=cfg.remat_encoder,
+            remat_policy=getattr(cfg, "remat_policy", "full"),
+            scan_unroll=getattr(cfg, "scan_unroll", 1),
         )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
