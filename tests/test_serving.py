@@ -1,0 +1,57 @@
+"""Fused serving path: waveform -> score in one jit must reproduce the
+two-stage filesystem pipeline's scores exactly."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from wav2vec_contr_loss_tpu.config import Stage1Config, Stage2Config
+from wav2vec_contr_loss_tpu.data import AudioConfig, BatchPipeline, parse_asvspoof2019
+from wav2vec_contr_loss_tpu.data.audio import write_wav
+from wav2vec_contr_loss_tpu.eval.serving import SpoofScorer
+from wav2vec_contr_loss_tpu.models.wav2vec2 import Wav2Vec2Config
+from wav2vec_contr_loss_tpu.train import Stage1Trainer, stage2_scores, train_stage2
+
+SR = 16000
+TINY_ENC = Wav2Vec2Config(
+    hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+    conv_dim=(16, 16, 16, 16), conv_kernel=(10, 3, 3, 3),
+    conv_stride=(5, 2, 2, 2), num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4, dtype=jnp.float32,
+    apply_spec_augment=False,
+)
+
+
+def test_fused_scorer_matches_pipeline(tmp_path):
+    rng = np.random.default_rng(2)
+    lines = []
+    for i in range(16):
+        name = f"c{i:03d}.wav"
+        bona = i % 2 == 0
+        x = (0.4 * np.sin(2 * np.pi * 330 * np.arange(SR) / SR) if bona
+             else 0.2 * rng.standard_normal(SR))
+        write_wav(tmp_path / name, x.astype(np.float32), SR)
+        lines.append(f"d/{name} {'-' if bona else 'A01'} "
+                     f"{'bonafide' if bona else 'spoof'} - S{i % 3}")
+    (tmp_path / "p.txt").write_text("\n".join(lines) + "\n")
+    ds = parse_asvspoof2019(str(tmp_path / "p.txt"), str(tmp_path),
+                            audio=AudioConfig(SR, 1))
+
+    cfg = Stage1Config(epochs=1, batch_size=8, input_dim=32, hidden_dim=16,
+                       max_duration_seconds=1, use_rawboost=False,
+                       finetune_encoder=False, compute_dtype="float32", seed=0)
+    trainer = Stage1Trainer(cfg, enc_config=TINY_ENC)
+    state = trainer.init_state()
+    pipe = BatchPipeline(ds, 8, seed=0, num_workers=2)
+    state, _ = trainer.fit(state, pipe, save_dir=str(tmp_path / "s1"))
+
+    embs, labels = trainer.embed_dataset(state, pipe)
+    cfg2 = Stage2Config(epochs=10, batch_size=16, lr=5e-2, seed=0)
+    head_params, _ = train_stage2(cfg2, embs, labels, embs, labels,
+                                  save_dir=str(tmp_path / "s2"))
+    want = stage2_scores(cfg2, head_params, embs)
+
+    scorer = SpoofScorer.from_checkpoints(str(tmp_path / "s1"),
+                                          str(tmp_path / "s2"))
+    got, got_labels = scorer.score_dataset(pipe)
+    np.testing.assert_array_equal(got_labels, labels)
+    np.testing.assert_allclose(got, want, atol=1e-5)

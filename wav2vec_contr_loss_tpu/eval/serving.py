@@ -1,0 +1,79 @@
+"""Fused inference: waveform -> spoof score in one jitted graph.
+
+The reference serves the two-stage system as two processes connected by
+.npy files (extract_stage1_embeddings.py then generate_eval_score_file.py).
+For deployment that round trip is pure overhead: `SpoofScorer` fuses
+encoder -> compression -> pooling -> stage-2 head into a single compiled
+function (bf16 encoder, fp32 head), batched at a static serving batch size
+with tail padding.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Stage2Config
+from ..data.pipeline import BatchPipeline
+from ..models.compression import clip_embedding
+from ..models.heads import build_head
+from ..train.stage1 import Stage1Trainer
+
+__all__ = ["SpoofScorer"]
+
+
+class SpoofScorer:
+    """Stage-1 backbone + stage-2 head as one compiled scoring function."""
+
+    def __init__(self, trainer: Stage1Trainer, state, stage2_cfg: Stage2Config,
+                 head_params: Dict):
+        self.trainer = trainer
+        self.state = state
+        self.head = build_head(stage2_cfg.head_type, stage2_cfg.hidden_dim,
+                               stage2_cfg.dropout)
+        self.head_params = head_params
+
+        enc = trainer.encoder
+        comp = trainer.compression
+        enc_params = state.params.get("encoder") or state.frozen.get("encoder")
+        comp_params = state.params["compression"]
+
+        @jax.jit
+        def score(waves: jnp.ndarray) -> jnp.ndarray:
+            attn = (waves != 0.0).astype(jnp.int32)
+            enc_out = enc.apply({"params": enc_params}, waves, attn)
+            seq = comp.apply({"params": comp_params}, enc_out["layer_mean"])
+            z = clip_embedding(seq)
+            return self.head.apply({"params": head_params}, z)
+
+        self._score = score
+
+    @classmethod
+    def from_checkpoints(cls, stage1_dir: str, stage2_dir: str,
+                         stage1_name: str = "best",
+                         stage2_name: str = "stage2_binary_head_best",
+                         mesh=None) -> "SpoofScorer":
+        from ..cli.generate_scores import load_stage2_head
+
+        trainer, state = Stage1Trainer.from_checkpoint(stage1_dir, stage1_name,
+                                                       mesh=mesh)
+        cfg2, head_params = load_stage2_head(stage2_dir, stage2_name)
+        return cls(trainer, state, cfg2, head_params)
+
+    def score_waveforms(self, waves: np.ndarray) -> np.ndarray:
+        """(B, T) float32 zero-padded waveforms -> (B,) raw logits
+        (higher == more bonafide-like)."""
+        return np.asarray(self._score(jnp.asarray(waves, jnp.float32)))
+
+    def score_dataset(self, pipe: BatchPipeline
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (logits, labels) in dataset order, static batch shapes."""
+        logits, labels = [], []
+        for b in pipe.sequential():
+            lg = self.score_waveforms(b.waveforms)
+            logits.append(lg[b.valid])
+            labels.append(b.labels[b.valid])
+        return np.concatenate(logits), np.concatenate(labels)
