@@ -1,0 +1,54 @@
+"""utils: metrics logger, timers, seeding."""
+
+import json
+import os
+
+import numpy as np
+
+from wav2vec_contr_loss_tpu.utils import MetricsLogger, StepTimer, Throughput, set_seed
+
+
+def test_metrics_logger_jsonl(tmp_path, capsys):
+    logger = MetricsLogger(str(tmp_path / "logs"))
+    logger.log(1, {"train_loss": 1.5, "dev_loss": float("nan")},
+               message="[epoch 001] train_loss=1.5")
+    logger.log(2, {"train_loss": 1.2})
+    logger.close()
+    out = capsys.readouterr().out
+    assert "[epoch 001]" in out
+    lines = open(tmp_path / "logs" / "metrics.jsonl").read().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["step"] == 1 and rec["train_loss"] == 1.5
+
+
+def test_metrics_logger_no_dir(capsys):
+    MetricsLogger().log(0, {"x": 1.0}, message="hello")
+    assert "hello" in capsys.readouterr().out
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(3):
+        t.start()
+        t.stop()
+    s = t.summary(drop_first=1)
+    assert s["steps"] == 2 and s["mean_s"] >= 0
+
+    thru = Throughput(clips_per_step=32, n_chips=2)
+    thru.start()
+    thru.stop()
+    thru.start()
+    thru.stop()
+    assert thru.clips_per_sec_per_chip() * 2 == thru.clips_per_sec()
+
+
+def test_set_seed_reproducible():
+    g1 = set_seed(7)
+    a = g1.random(3)
+    import random
+
+    r1 = random.random()
+    g2 = set_seed(7)
+    np.testing.assert_array_equal(a, g2.random(3))
+    assert random.random() == r1

@@ -303,9 +303,11 @@ class Stage1Trainer:
         save_dir: Optional[str] = None,
         start_epoch: int = 1,
         log_fn=print,
+        metrics_logger=None,
     ) -> Tuple[Stage1State, Dict]:
         """Epoch loop with best-by-dev-loss checkpointing
-        (reference: train_stage1.py:99-133)."""
+        (reference: train_stage1.py:99-133). `metrics_logger` optionally
+        streams scalars to JSONL/TensorBoard (utils/logging.py)."""
         cfg = self.cfg
         best_dev = float("inf")
         history = {"train_loss": [], "dev_loss": [], "alpha": [],
@@ -340,11 +342,17 @@ class Stage1Trainer:
             history["dev_loss"].append(dev_loss)
             history["alpha"].append(alpha)
             history["clips_per_sec_per_chip"].append(cps)
-            log_fn(
+            msg = (
                 f"[epoch {epoch:03d}] train_loss={train_loss:.4f} | "
                 f"dev_loss={dev_loss:.4f} | alpha={alpha:.3f} | "
                 f"clips/s/chip={cps:.1f}"
             )
+            log_fn(msg)
+            if metrics_logger is not None:
+                metrics_logger.log(epoch, {
+                    "train_loss": train_loss, "dev_loss": dev_loss,
+                    "alpha": alpha, "clips_per_sec_per_chip": cps,
+                })
 
             if save_dir is not None:
                 metrics = {"epoch": epoch, "train_loss": train_loss,

@@ -1,2 +1,3 @@
+from .logging import MetricsLogger  # noqa: F401
 from .seeding import set_seed  # noqa: F401
 from .timing import StepTimer, Throughput  # noqa: F401
