@@ -154,6 +154,20 @@ def test_spoof_detector_modes(rng):
     assert logits.shape == (2,)
 
 
+def test_all_zero_clip_stays_finite(rng):
+    """A fully-zero waveform (the corrupted-file fallback,
+    base_audio.py:28-34) must yield finite outputs. The reference's -inf
+    key masking NaNs out in this case; our -1e30 bias degrades to uniform
+    attention instead — strictly more robust."""
+    _, cfg, params = make_pair("xlsr")
+    wave = make_input(rng)
+    wave[1, :] = 0.0
+    enc = Wav2Vec2Encoder(cfg)
+    out = enc.apply(params, wave)
+    assert np.isfinite(np.asarray(out["layer_mean"])).all()
+    assert not np.asarray(out["frame_mask"])[1].any()
+
+
 def test_spec_augment_train_mode(rng):
     _, cfg, params = make_pair("xlsr")
     cfg = cfg.with_(mask_time_prob=0.5, mask_time_length=3)

@@ -1,0 +1,154 @@
+"""Component micro-benchmarks: input pipeline, augmentation, loss kernels.
+
+`bench.py` (repo root) is the driver-facing train-step benchmark; this CLI
+measures the pieces around it — the host-side costs that decide whether the
+TPU is input-bound (SURVEY.md §7 hard part #5).
+
+  python -m wav2vec_contr_loss_tpu.cli.bench_components --which decode
+  python -m wav2vec_contr_loss_tpu.cli.bench_components --which rawboost
+  python -m wav2vec_contr_loss_tpu.cli.bench_components --which supcon
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import time
+
+import numpy as np
+
+
+def bench_decode(n_files: int = 64, seconds: int = 5, repeats: int = 3) -> dict:
+    """Native threaded batch decode vs per-file python decode (WAV)."""
+    from ..data.audio import AudioLoader, AudioConfig, _native_decoder, write_wav
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(n_files):
+            p = f"{d}/clip_{i}.wav"
+            write_wav(p, rng.normal(0, 0.2, sr * seconds).astype(np.float32), sr)
+            paths.append(p)
+
+        loader = AudioLoader(AudioConfig(sr, seconds))
+        loader.load(paths[0])  # warm any lazy init / on-demand build
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            for p in paths:
+                loader.load(p)
+        per_file = (time.perf_counter() - t0) / (repeats * n_files)
+
+        batch_rate = None
+        lib = _native_decoder()
+        if lib is not None:
+            import ctypes
+
+            arr = (ctypes.c_char_p * n_files)(*[p.encode() for p in paths])
+            out = np.zeros((n_files, sr * seconds), np.float32)
+            srs = np.zeros(n_files, np.int32)
+            lens = np.zeros(n_files, np.int64)
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                lib.w2v_decode_batch(
+                    arr, n_files,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    sr * seconds,
+                    srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    lens.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), 8,
+                )
+            batch_rate = repeats * n_files / (time.perf_counter() - t0)
+    return {
+        "decode_clips_per_sec_serial": round(1.0 / per_file, 1),
+        "decode_clips_per_sec_native_batch8": (
+            round(batch_rate, 1) if batch_rate else None
+        ),
+    }
+
+
+def bench_rawboost(batch: int = 32, seconds: int = 5, repeats: int = 3) -> dict:
+    """Host (numpy/scipy) vs on-device (fused JAX) RawBoost."""
+    from ..data.rawboost import RawBoostParams, apply_rawboost_batch
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    waves = rng.normal(0, 0.2, (batch, sr * seconds)).astype(np.float32)
+    params = RawBoostParams()
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        apply_rawboost_batch(waves, np.random.default_rng(1), params, prob=1.0)
+    host = repeats * batch / (time.perf_counter() - t0)
+
+    device = None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.rawboost import rawboost_batch_device
+
+        dw = jnp.asarray(waves)
+        key = jax.random.PRNGKey(0)
+        out = rawboost_batch_device(dw, key, 1.0, params)
+        _ = np.asarray(out[0, 0])  # full sync
+        t0 = time.perf_counter()
+        for i in range(repeats):
+            out = rawboost_batch_device(dw, jax.random.PRNGKey(i), 1.0, params)
+        _ = np.asarray(out[0, 0])
+        device = repeats * batch / (time.perf_counter() - t0)
+    except Exception:
+        pass
+    return {
+        "rawboost_clips_per_sec_host": round(host, 1),
+        "rawboost_clips_per_sec_device": round(device, 1) if device else None,
+    }
+
+
+def bench_supcon(batch: int = 256, dim: int = 256, repeats: int = 50) -> dict:
+    """XLA vs Pallas fused SupCon (value+grad)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..losses import SupConConfig, supcon_binary_loss
+    from ..ops.supcon_pallas import supcon_binary_loss_pallas
+
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(batch, dim)).astype(np.float32)
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    labels = np.array([1, 0] * (batch // 2), np.int32)
+    cfg = SupConConfig(temperature=0.07, topk_neg=15, uniformity_weight=0.05)
+
+    out = {}
+    for name, fn in (("xla", supcon_binary_loss),
+                     ("pallas", supcon_binary_loss_pallas)):
+        g = jax.jit(jax.value_and_grad(lambda x: fn(x, labels, 0.3, cfg)))
+        loss, grad = g(z)
+        _ = float(loss)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            loss, grad = g(z)
+        _ = float(loss)
+        out[f"supcon_{name}_steps_per_sec"] = round(
+            repeats / (time.perf_counter() - t0), 1
+        )
+    return out
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--which", type=str, default="all",
+                   choices=["all", "decode", "rawboost", "supcon"])
+    args = p.parse_args(argv)
+    results = {}
+    if args.which in ("all", "decode"):
+        results.update(bench_decode())
+    if args.which in ("all", "rawboost"):
+        results.update(bench_rawboost())
+    if args.which in ("all", "supcon"):
+        results.update(bench_supcon())
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
