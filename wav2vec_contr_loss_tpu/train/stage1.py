@@ -282,15 +282,24 @@ class Stage1Trainer:
 
     # -------------------------------------------------------------- data
     def _device_batches(self, batches: Iterator[Batch]) -> Iterator[Dict]:
-        sharding = batch_sharding(self.mesh)
+        from ..parallel.mesh import global_batch_from_local
+
+        n_proc = jax.process_count()
+        rank = jax.process_index()
 
         def put(b: Batch) -> Dict:
-            out = {
-                "waveforms": jax.device_put(b.waveforms, sharding),
-                "labels": jax.device_put(b.labels, sharding),
-                "multi_labels": jax.device_put(b.multi_labels, sharding),
+            arrays = {
+                "waveforms": b.waveforms,
+                "labels": b.labels,
+                "multi_labels": b.multi_labels,
             }
-            return out
+            if n_proc > 1:
+                # every host built the same global balanced batch
+                # (sampler 'global' mode); feed only this process's slice
+                per = b.waveforms.shape[0] // n_proc
+                sl = slice(rank * per, (rank + 1) * per)
+                arrays = {k: v[sl] for k, v in arrays.items()}
+            return global_batch_from_local(self.mesh, arrays)
 
         return prefetch_to_device(batches, put, depth=2)
 
