@@ -73,6 +73,56 @@ def test_multiclass_mode(feature_data):
     assert np.isfinite(hist["train_loss"]).all()
 
 
+def test_resume_is_bit_exact(feature_data, tmp_path):
+    """Crash recovery: train 2 epochs, checkpoint, restore, train 2 more —
+    must equal an uninterrupted 4-epoch run exactly (full train state incl.
+    optimizer + PRNG is persisted; sampler and alpha are epoch-seeded).
+    The reference cannot do this at all (no optimizer state saved,
+    SURVEY.md §5)."""
+    feats, labels = feature_data
+    base = Stage1Config(
+        epochs=4, batch_size=8, input_dim=24, hidden_dim=8,
+        use_rawboost=False, compute_dtype="float32", seed=3,
+        warmup_epochs=1, alpha_ramp_epochs=2, alpha_end=1.0,
+    )
+
+    # uninterrupted run
+    tr_a = Stage1Trainer(base, from_features=True)
+    state_a = tr_a.init_state()
+    state_a, hist_a = tr_a.fit_from_features(state_a, feats, labels)
+
+    # interrupted run: 2 epochs, checkpoint, rebuild everything, resume
+    tr_b = Stage1Trainer(base.replace(epochs=2), from_features=True)
+    state_b = tr_b.init_state()
+    state_b, _ = tr_b.fit_from_features(state_b, feats, labels,
+                                        save_dir=str(tmp_path / "ck"))
+    tr_c, state_c = Stage1Trainer.from_checkpoint(str(tmp_path / "ck"), "latest")
+    tr_c.cfg = base  # continue to epoch 4
+
+    # continue epochs 3..4 manually through the same path
+    import jax.numpy as jnp
+    from wav2vec_contr_loss_tpu.data.sampler import BalancedBatchSampler
+    from wav2vec_contr_loss_tpu.train.schedule import alpha_for_epoch
+
+    sampler = BalancedBatchSampler(labels, base.batch_size, seed=base.seed)
+    for epoch in (3, 4):
+        alpha = jnp.asarray(
+            alpha_for_epoch(epoch, base.warmup_epochs, base.alpha_ramp_epochs,
+                            base.alpha_end), jnp.float32)
+        for idx in sampler.epoch_batches(epoch):
+            batch = {
+                "features": jnp.asarray(feats[idx].transpose(0, 2, 1)),
+                "labels": jnp.asarray(labels[idx]),
+                "multi_labels": jnp.asarray(labels[idx]),
+            }
+            state_c, _ = tr_c.train_step(state_c, batch, alpha)
+
+    a = jax.device_get(state_a.params)
+    c = jax.device_get(state_c.params)
+    for la, lc in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(c)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lc))
+
+
 def test_pallas_supcon_impl_training(feature_data):
     """supcon_impl='pallas' trains identically (interpreter mode on CPU)."""
     feats, labels = feature_data
