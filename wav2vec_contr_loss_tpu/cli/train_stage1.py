@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="continue from the 'latest' checkpoint in save_dir "
                         "(full train state incl. optimizer + PRNG)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans — the functional-purity "
+                        "equivalent of a sanitizer (SURVEY.md §5)")
     return p
 
 
@@ -89,6 +92,10 @@ def config_from_args(args) -> Stage1Config:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     cfg = config_from_args(args)
     set_seed(cfg.seed)
     save_dir = save_dir_for(args.save_dir, cfg.model_name)
