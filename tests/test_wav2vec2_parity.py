@@ -97,6 +97,25 @@ def test_hidden_states_match_hf(rng, variant):
     assert fm[0].all() and not fm[1].all()
 
 
+def test_fused_qkv_matches_hf(rng):
+    """fused_qkv=True (one (D,3D) matmul) must reproduce HF outputs too;
+    hf_convert concatenates the torch q/k/v weights to match."""
+    hf_model, cfg, _ = make_pair("xlsr")
+    cfg = cfg.with_(fused_qkv=True)
+    params = {"params": convert_hf_state_dict(hf_model.state_dict(), cfg)}
+    wave = make_input(rng)
+    mask = (wave != 0.0).astype(np.int64)
+    with torch.no_grad():
+        want = hf_model(
+            torch.from_numpy(wave), attention_mask=torch.from_numpy(mask),
+            output_hidden_states=True, return_dict=True,
+        )
+    want_mean = np.stack([h.numpy() for h in want.hidden_states]).mean(0)
+    got = Wav2Vec2Encoder(cfg).apply(params, wave)
+    np.testing.assert_allclose(np.asarray(got["layer_mean"]), want_mean,
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_inferred_mask_matches_explicit(rng):
     """attention_mask=None must reproduce the reference's wave != 0 rule."""
     hf_model, cfg, params = make_pair("xlsr")

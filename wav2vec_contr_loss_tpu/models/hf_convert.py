@@ -102,13 +102,26 @@ def convert_hf_state_dict(
         leaves = [make_one(i) for i in range(config.num_layers)]
         return _stack_trees(leaves)
 
+    def attention_params(i: int) -> Dict:
+        if config.fused_qkv:
+            parts = [_dense(sd, f"encoder.layers.{i}.attention.{n}")
+                     for n in ("q_proj", "k_proj", "v_proj")]
+            return {
+                "qkv_proj": {
+                    "kernel": np.concatenate([p["kernel"] for p in parts], axis=1),
+                    "bias": np.concatenate([p["bias"] for p in parts]),
+                },
+                "out_proj": _dense(sd, f"encoder.layers.{i}.attention.out_proj"),
+            }
+        return {
+            name: _dense(sd, f"encoder.layers.{i}.attention.{name}")
+            for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+        }
+
     params["layers"] = {
         "layer": stacked(
             lambda i: {
-                "attention": {
-                    name: _dense(sd, f"encoder.layers.{i}.attention.{name}")
-                    for name in ("q_proj", "k_proj", "v_proj", "out_proj")
-                },
+                "attention": attention_params(i),
                 "feed_forward": {
                     "intermediate_dense": _dense(
                         sd, f"encoder.layers.{i}.feed_forward.intermediate_dense"

@@ -74,6 +74,9 @@ class Wav2Vec2Config:
     # removing per-iteration dynamic-slice/update overhead on the stacked
     # params (profiling showed ~10% of step time there at unroll=1)
     scan_unroll: int = 1
+    # fuse q/k/v projections into one (D, 3D) matmul (fewer, larger MXU
+    # launches); hf_convert concatenates the torch weights to match
+    fused_qkv: bool = False
 
     def with_(self, **kw) -> "Wav2Vec2Config":
         return dataclasses.replace(self, **kw)
@@ -217,9 +220,15 @@ class SelfAttention(nn.Module):
         hd = d // h
         dense = lambda name: nn.Dense(d, dtype=cfg.dtype, param_dtype=jnp.float32,
                                       name=name)
-        q = dense("q_proj")(x) * (hd ** -0.5)
-        k = dense("k_proj")(x)
-        v = dense("v_proj")(x)
+        if cfg.fused_qkv:
+            qkv = nn.Dense(3 * d, dtype=cfg.dtype, param_dtype=jnp.float32,
+                           name="qkv_proj")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q * (hd ** -0.5)
+        else:
+            q = dense("q_proj")(x) * (hd ** -0.5)
+            k = dense("k_proj")(x)
+            v = dense("v_proj")(x)
         b, t = x.shape[0], x.shape[1]
         q = q.reshape(b, t, h, hd)
         k = k.reshape(b, t, h, hd)

@@ -88,8 +88,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # row-parallel out/down-projection => one psum per block, the Megatron
 # layout expressed purely as shardings.
 _TP_RULES = [
-    (r".*attention/(q_proj|k_proj|v_proj)/kernel$", P(None, None, "model")),
-    (r".*attention/(q_proj|k_proj|v_proj)/bias$", P(None, "model")),
+    (r".*attention/(q_proj|k_proj|v_proj|qkv_proj)/kernel$", P(None, None, "model")),
+    (r".*attention/(q_proj|k_proj|v_proj|qkv_proj)/bias$", P(None, "model")),
     (r".*attention/out_proj/kernel$", P(None, "model", None)),
     (r".*feed_forward/intermediate_dense/kernel$", P(None, None, "model")),
     (r".*feed_forward/intermediate_dense/bias$", P(None, "model")),
