@@ -103,6 +103,7 @@ class Stage1Trainer:
             dtype=dtype, remat=cfg.remat_encoder,
             remat_policy=getattr(cfg, "remat_policy", "full"),
             scan_unroll=getattr(cfg, "scan_unroll", 1),
+            fused_qkv=getattr(cfg, "fused_qkv", False),
         )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
