@@ -71,8 +71,20 @@ def main() -> None:
     # warmup / compile. NOTE: force a real host fetch — on the remote axon
     # backend block_until_ready can return before execution completes, so
     # float() (a device->host value transfer) is the only reliable sync.
-    state, metrics = trainer.train_step(state, dict(batch), alpha)
-    warm_loss = float(metrics["loss"])
+    # The axon remote-compile service is occasionally flaky (HTTP 500 /
+    # broken pipe); retry the first compile a couple of times.
+    last_err = None
+    for attempt in range(3):
+        try:
+            state, metrics = trainer.train_step(state, dict(batch), alpha)
+            warm_loss = float(metrics["loss"])
+            last_err = None
+            break
+        except Exception as e:  # pragma: no cover - service flakiness
+            last_err = e
+            time.sleep(10)
+    if last_err is not None:
+        raise last_err
     assert np.isfinite(warm_loss), f"warmup loss {warm_loss}"
 
     n_steps = 20

@@ -170,14 +170,20 @@ class BaselineTrainer:
         self.logits_step = jax.jit(logits_step)
 
     def _put(self, batches: Iterator[Batch]) -> Iterator[Dict]:
-        sharding = batch_sharding(self.mesh)
+        from ..parallel.mesh import global_batch_from_local
+
+        n_proc = jax.process_count()
+        rank = jax.process_index()
 
         def put(b: Batch) -> Dict:
-            return {
-                "waveforms": jax.device_put(b.waveforms, sharding),
-                "labels": jax.device_put(b.labels, sharding),
-                "valid": b.valid,
-            }
+            arrays = {"waveforms": b.waveforms, "labels": b.labels}
+            if n_proc > 1:
+                per = b.waveforms.shape[0] // n_proc
+                sl = slice(rank * per, (rank + 1) * per)
+                arrays = {k: v[sl] for k, v in arrays.items()}
+            out = global_batch_from_local(self.mesh, arrays)
+            out["valid"] = b.valid  # host-side mask, never sharded
+            return out
 
         return prefetch_to_device(batches, put, depth=2)
 
