@@ -52,6 +52,9 @@ def main(argv=None) -> None:
     p.add_argument("--input_dim", type=int, default=None)
     p.add_argument("--hidden_dim", type=int, default=None)
     p.add_argument("--skip_plots", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume stage-1 from its latest checkpoint; later "
+                        "stages are already idempotent (skip-if-exists)")
     args = p.parse_args(argv)
 
     exp_dir = os.path.join(args.work_dir, args.exp_name)
@@ -79,6 +82,8 @@ def main(argv=None) -> None:
         v = getattr(args, flag)
         if v is not None:
             s1 += [f"--{flag}", str(v)]
+    if args.resume:
+        s1 += ["--resume"]
     train_stage1.main(s1)
 
     # 2) extraction (train/dev/eval/itw as provided)
