@@ -128,15 +128,20 @@ def _frame_lengths(sample_lengths: jnp.ndarray, config: Wav2Vec2Config) -> jnp.n
 
 
 class _ConvLayerNorm(nn.Module):
-    """fp32 LayerNorm applied over the channel dim of (B, T, C)."""
+    """LayerNorm over the channel dim of (B, T, C).
+
+    IO follows the compute dtype — the early conv activations are huge
+    (bf16[32,15999,512]) and fp32 materialization doubles their HBM
+    traffic; flax still computes mean/var in fp32 internally. Matches the
+    reference baseline's AMP behavior (torch LayerNorm under autocast)."""
 
     eps: float
     dtype: jnp.dtype
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32,
-                            param_dtype=jnp.float32)(x).astype(self.dtype)
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                            param_dtype=jnp.float32)(x)
 
 
 class FeatureExtractor(nn.Module):
@@ -268,22 +273,25 @@ class EncoderLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, key_bias: Optional[jnp.ndarray],
                  deterministic: bool) -> jnp.ndarray:
         cfg = self.config
+        # LN IO in compute dtype (stats still fp32 inside flax) — fp32
+        # materialization of every (B,T,D) normed activation is pure HBM
+        # traffic; params stay fp32
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps,
-                                       dtype=jnp.float32,
+                                       dtype=cfg.dtype,
                                        param_dtype=jnp.float32, name=name)
         attn = SelfAttention(cfg, name="attention")
         ff = FeedForward(cfg, name="feed_forward")
         drop = nn.Dropout(cfg.hidden_dropout)
         if cfg.do_stable_layer_norm:
-            y = ln("layer_norm")(x).astype(cfg.dtype)
+            y = ln("layer_norm")(x)
             x = x + drop(attn(y, key_bias, deterministic),
                          deterministic=deterministic)
-            y = ln("final_layer_norm")(x).astype(cfg.dtype)
+            y = ln("final_layer_norm")(x)
             return x + ff(y, deterministic)
         x = x + drop(attn(x, key_bias, deterministic), deterministic=deterministic)
-        x = ln("layer_norm")(x).astype(cfg.dtype)
+        x = ln("layer_norm")(x)
         x = x + ff(x, deterministic)
-        return ln("final_layer_norm")(x).astype(cfg.dtype)
+        return ln("final_layer_norm")(x)
 
 
 class Wav2Vec2Encoder(nn.Module):
