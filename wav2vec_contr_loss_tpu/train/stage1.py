@@ -30,6 +30,7 @@ Variants folded in (separate scripts in the reference):
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import flax.struct
@@ -46,7 +47,6 @@ from ..models.compression import CompressionModule, clip_embedding
 from ..models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
 from ..ops.rawboost import rawboost_batch_device
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
-from ..utils.timing import Throughput
 from . import checkpoint as ckpt
 from .schedule import alpha_for_epoch
 
@@ -328,14 +328,18 @@ class Stage1Trainer:
                 epoch, cfg.warmup_epochs, cfg.alpha_ramp_epochs, cfg.alpha_end
             )
             alpha_dev = jnp.asarray(alpha, jnp.float32)
-            thru = Throughput(cfg.batch_size, self.n_chips)
+            # epoch-level timing: no per-step sync, steps dispatch async and
+            # the device_get of the collected losses is the only barrier
+            t_epoch = time.perf_counter()
             losses = []
+            n_steps = 0
             for batch in self._device_batches(train_pipe.train_epoch(epoch)):
-                thru.start()
                 state, metrics = self.train_step(state, batch, alpha_dev)
-                thru.stop(metrics["loss"])
                 losses.append(metrics["loss"])
-            train_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
+                n_steps += 1
+            losses = jax.device_get(losses) if losses else []
+            epoch_s = time.perf_counter() - t_epoch
+            train_loss = float(np.mean(losses)) if len(losses) else 0.0
 
             dev_loss = float("nan")
             if dev_pipe is not None:
@@ -347,7 +351,8 @@ class Stage1Trainer:
                     if dev_losses else float("nan")
                 )
 
-            cps = thru.clips_per_sec_per_chip()
+            cps = (n_steps * cfg.batch_size / epoch_s / self.n_chips
+                   if n_steps and epoch_s > 0 else 0.0)
             history["train_loss"].append(train_loss)
             history["dev_loss"].append(dev_loss)
             history["alpha"].append(alpha)
