@@ -33,10 +33,17 @@ def main(argv=None) -> None:
     p.add_argument("--remat_encoder", type=int, default=1, choices=[0, 1])
     p.add_argument("--use_pos_weight", type=int, default=1, choices=[0, 1])
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--max_duration_seconds", type=int, default=5)
     args = p.parse_args(argv)
 
     set_seed(args.seed)
+    enc_config, enc_params = build_encoder(args.model_name, args.encoder_init)
     cfg = BaselineConfig(
+        # compression input dim follows the encoder architecture
+        input_dim=enc_config.hidden_size,
+        hidden_dim=args.hidden_dim,
+        max_duration_seconds=args.max_duration_seconds,
         model_name=args.model_name, epochs=args.epochs,
         batch_size=args.batch_size, num_samples=args.num_samples,
         head_lr=args.head_lr, enc_lr=args.enc_lr,
@@ -56,7 +63,6 @@ def main(argv=None) -> None:
     pos_weight = pos_weight_from_labels(train_ds.labels)
     print(f"pos_weight (neg/pos) = {pos_weight:.4f}")
 
-    enc_config, enc_params = build_encoder(cfg.model_name, args.encoder_init)
     trainer = BaselineTrainer(cfg, enc_config=enc_config,
                               enc_params=enc_params, pos_weight=pos_weight)
     state = trainer.init_state()

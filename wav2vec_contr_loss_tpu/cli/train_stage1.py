@@ -123,6 +123,9 @@ def main(argv=None) -> None:
         return
 
     enc_config, enc_params = build_encoder(cfg.model_name, args.encoder_init)
+    if args.input_dim is None and cfg.input_dim != enc_config.hidden_size:
+        # compression input dim follows the encoder architecture
+        cfg = cfg.replace(input_dim=enc_config.hidden_size)
     trainer = Stage1Trainer(
         cfg, enc_config=enc_config, enc_params=enc_params,
         loss_mode=args.loss_mode,
