@@ -172,6 +172,7 @@ bool decode_subframe(BitReader& br, int32_t* x, int n, int bps) {
     uint32_t type = (uint32_t)br.bits(6);
     int wasted = 0;
     if (br.bit()) wasted = 1 + (int)br.unary();
+    if (wasted > 30) return false;  // adversarial streams: avoid shift UB
     bps -= wasted;
     if (bps <= 0 || bps > 33) return false;
 
