@@ -22,10 +22,10 @@ def main(argv=None) -> None:
                    choices=["linear", "mlp"])
     p.add_argument("--hidden_dim", type=int, default=128)
     p.add_argument("--dropout", type=float, default=0.2)
-    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=1e-4)
-    p.add_argument("--epochs", type=int, default=100)
-    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--patience", type=int, default=15)
     p.add_argument("--seed", type=int, default=1337)
     args = p.parse_args(argv)

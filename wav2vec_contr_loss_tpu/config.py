@@ -163,12 +163,12 @@ class Stage2Config:
     in_dim: int = 256
     hidden_dim: int = 128
     dropout: float = 0.2
-    lr: float = 1e-3
+    lr: float = 1e-4
     weight_decay: float = 1e-4
-    epochs: int = 100
-    batch_size: int = 256
+    epochs: int = 200
+    batch_size: int = 64
     patience: int = 15
-    log_every: int = 50
+    log_every: int = 10
     seed: int = 1337
 
     def replace(self, **kw) -> "Stage2Config":
