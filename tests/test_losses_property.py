@@ -56,7 +56,10 @@ def test_eer_properties_fuzz(n_tar, n_non, sep, seed):
     tar = rng.normal(sep, 1.0, n_tar)
     non = rng.normal(0.0, 1.0, n_non)
     eer, thr = compute_eer(tar, non)
-    gran = 2.0 / min(n_tar, n_non)
-    assert 0.0 <= eer <= 0.5 + gran
+    # hard bound: min |frr - far| point lies in [0, 1]; the 1/2 bound only
+    # holds asymptotically (small samples fluctuate above it)
+    assert 0.0 <= eer <= 1.0
+    # negating scores and swapping classes mirrors the DET curve: EER is
+    # preserved up to one granularity step of the rarer class
     eer_sym, _ = compute_eer(-non, -tar)
-    assert abs(eer - eer_sym) <= gran + 1e-12
+    assert abs(eer - eer_sym) <= 1.0 / min(n_tar, n_non) + 1e-12
