@@ -70,6 +70,15 @@ def test_run_pipeline_cli(cli_corpus, tmp_path):
     eer = calculate_eer_from_file(score_file)
     assert 0.0 <= eer <= 100.0
 
+    # attack-type-colored UMAP from the saved multi-labels + attack map
+    from wav2vec_contr_loss_tpu.cli import plot_umap
+
+    emb_dir = os.path.join(exp, "embeddings")
+    assert os.path.exists(os.path.join(emb_dir, "eval_multi_labels.npy"))
+    plot_umap.main(["--emb_dir", emb_dir, "--split", "eval", "--by_attack",
+                    "--out_dir", os.path.join(exp, "plots_attack")])
+    assert os.path.exists(os.path.join(exp, "plots_attack", "umap_eval.png"))
+
 
 def test_eval_scores_cli(tmp_path, capsys):
     from wav2vec_contr_loss_tpu.cli import eval_scores

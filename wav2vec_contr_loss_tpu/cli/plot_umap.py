@@ -19,7 +19,11 @@ def main(argv=None) -> None:
     p.add_argument("--split", type=str, default="eval")
     p.add_argument("--out_dir", type=str, default="plots")
     p.add_argument("--multi_labels", type=str, default=None,
-                   help=".npy of attack-id classes for per-attack coloring")
+                   help=".npy of attack-id classes for per-attack coloring "
+                        "(extract_embeddings writes <split>_multi_labels.npy)")
+    p.add_argument("--by_attack", action="store_true",
+                   help="color by attack type using the multi-labels and "
+                        "attack map saved at extraction time")
     p.add_argument("--subspace", action="store_true",
                    help="plot pre-compression encoder features instead: "
                         "(N, F, 250) layer-mean features -> time-mean -> L2 "
@@ -37,11 +41,21 @@ def main(argv=None) -> None:
         embs /= np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
     else:
         embs, labels = load_embeddings(args.emb_dir, args.split)
+    names = {1: "Real", 0: "Spoof"}
+    if args.by_attack and not args.multi_labels:
+        args.multi_labels = os.path.join(args.emb_dir,
+                                         f"{args.split}_multi_labels.npy")
     if args.multi_labels:
         labels = np.load(args.multi_labels)
         names = None
-    else:
-        names = {1: "Real", 0: "Spoof"}
+        attack_map_path = os.path.join(args.emb_dir,
+                                       f"{args.split}_attack_map.json")
+        if os.path.exists(attack_map_path):
+            import json
+
+            attack_to_idx = json.load(open(attack_map_path))
+            names = {v: ("Real" if k == "bonafide" else k)
+                     for k, v in attack_to_idx.items()}
     out_png = os.path.join(args.out_dir, f"umap_{args.split}.png")
     out_html = os.path.join(args.out_dir, f"umap_{args.split}.html")
     plot_embeddings_2d(

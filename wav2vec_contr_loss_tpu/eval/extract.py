@@ -48,15 +48,24 @@ def extract_embeddings(
         log_fn(f"[SKIP] existing {split_name} embeddings: {emb_path}")
         return emb_path, lab_path
 
-    zs, ys = [], []
+    zs, ys, ms = [], [], []
     for batch in pipe.sequential():
         z = np.asarray(embed_fn(batch.waveforms))
         zs.append(z[batch.valid])
         ys.append(batch.labels[batch.valid])
+        ms.append(batch.multi_labels[batch.valid])
     embs = np.concatenate(zs).astype(np.float32)
     labels = np.concatenate(ys).astype(np.int64)
     np.save(emb_path, embs)
     np.save(lab_path, labels)
+    # attack-id classes enable per-attack UMAP coloring
+    # (reference: plot_stage1_umap_asv.py) plus the attack-name map
+    np.save(os.path.join(out_dir, f"{split_name}_multi_labels.npy"),
+            np.concatenate(ms).astype(np.int64))
+    import json
+
+    with open(os.path.join(out_dir, f"{split_name}_attack_map.json"), "w") as f:
+        json.dump(pipe.dataset.attack_to_idx, f)
     log_fn(f"[OK] {split_name}: {embs.shape} -> {emb_path}")
     return emb_path, lab_path
 
