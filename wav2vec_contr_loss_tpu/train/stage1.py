@@ -319,6 +319,9 @@ class Stage1Trainer:
         (reference: train_stage1.py:99-133). `metrics_logger` optionally
         streams scalars to JSONL/TensorBoard (utils/logging.py)."""
         cfg = self.cfg
+        if dev_pipe is not None and dev_pipe.rawboost is not None:
+            # the reference never augments at eval (stage1_utils.py:138-153)
+            raise ValueError("dev pipeline must not apply RawBoost")
         best_dev = float("inf")
         history = {"train_loss": [], "dev_loss": [], "alpha": [],
                    "clips_per_sec_per_chip": []}
