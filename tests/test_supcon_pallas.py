@@ -64,6 +64,17 @@ def test_pallas_matches_xla(rng, b, d, lk, tau, sim, topk, alpha, lam):
                                rtol=5e-4, atol=5e-6)
 
 
+def test_large_batch_falls_back_to_xla(rng):
+    """Beyond the VMEM envelope the wrapper must route to XLA and still
+    agree with it exactly."""
+    z = normed(rng, 600, 32)
+    labels = make_labels("balanced", 600, rng)
+    cfg = SupConConfig(temperature=0.2, topk_neg=15)
+    got = float(supcon_binary_loss_pallas(z, labels, 0.3, cfg))
+    want = float(supcon_binary_loss(z, labels, 0.3, cfg))
+    assert got == want  # same computation, same graph
+
+
 def test_pallas_alpha_gradient(rng):
     """d(loss)/d(alpha) must equal L_mined - L_full."""
     z = normed(rng, 16, 8)

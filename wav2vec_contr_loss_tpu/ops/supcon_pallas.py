@@ -6,8 +6,9 @@ The reference computes this loss with a serial per-anchor Python loop
 fuses it into one batched graph; this kernel goes one step further: the
 entire computation — Gram matrix, geodesic remap, masked log-sum-exps,
 iterative top-K hard-negative selection, uniformity term, AND the analytic
-input gradient — runs in one `pallas_call`, entirely VMEM-resident
-(B x B fp32 at B<=1024 is <= 4 MB), with zero HBM intermediates and no
+input gradient — runs in one `pallas_call`, entirely VMEM-resident (the full
+working set fits the ~16 MB scoped VMEM up to B~512; beyond that the
+public wrapper falls back to the XLA path), with zero HBM intermediates and no
 separate backward pass: the VJP just scales the precomputed dz by the
 scalar cotangent.
 
@@ -210,9 +211,15 @@ def _run_kernel(z, labels, alpha, cfg: SupConConfig):
     )
 
 
+# All buffers live in VMEM: past this batch size the kernel's working set
+# (several BxB fp32 matrices + the BxD blocks) exceeds the ~16 MB scoped
+# VMEM budget, so fall back to the XLA implementation (measured equal-speed
+# at B=256 anyway — XLA's fusion is already near-optimal for this op).
+MAX_VMEM_BATCH = 512
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
-def supcon_binary_loss_pallas(z, labels, alpha, config: SupConConfig = SupConConfig()):
-    """Drop-in replacement for losses.supcon_binary_loss, one fused kernel."""
+def _supcon_pallas(z, labels, alpha, config: SupConConfig):
     loss, _, _ = _run_kernel(z, labels, alpha, config)
     return loss[0, 0]
 
@@ -227,4 +234,15 @@ def _bwd(config, res, g):
     return g * dz, None, g * dalpha
 
 
-supcon_binary_loss_pallas.defvjp(_fwd, _bwd)
+_supcon_pallas.defvjp(_fwd, _bwd)
+
+
+def supcon_binary_loss_pallas(z, labels, alpha,
+                              config: SupConConfig = SupConConfig()):
+    """Drop-in replacement for losses.supcon_binary_loss: one fused kernel
+    while the working set fits VMEM, XLA beyond that."""
+    if z.shape[0] > MAX_VMEM_BATCH:
+        from ..losses.supcon import supcon_binary_loss
+
+        return supcon_binary_loss(z, labels, alpha, config)
+    return _supcon_pallas(z, labels, alpha, config)
