@@ -14,9 +14,27 @@ from ..eval.metrics import (
 from ..eval.score import read_score_file
 
 
+def _expand_trees(paths):
+    """Directories expand to every score_cm_*.txt underneath (the whole
+    scores/<exp>/<model>/ tree in one report, like the reference's
+    eval_eer_score_file.ipynb table)."""
+    import glob
+    import os
+
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            out += sorted(glob.glob(os.path.join(p, "**", "score_cm_*.txt"),
+                                    recursive=True))
+        else:
+            out.append(p)
+    return out
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("score_files", nargs="+", help="CM score file paths")
+    p.add_argument("score_files", nargs="+",
+                   help="CM score files, or directories to scan recursively")
     p.add_argument("--tdcf", action="store_true",
                    help="also report min-tDCF (needs --pfa/--pmiss/--pmiss_spoof)")
     p.add_argument("--pfa_asv", type=float, default=0.01)
@@ -24,7 +42,7 @@ def main(argv=None) -> None:
     p.add_argument("--pmiss_spoof_asv", type=float, default=0.9)
     args = p.parse_args(argv)
 
-    for path in args.score_files:
+    for path in _expand_trees(args.score_files):
         eer = calculate_eer_from_file(path)
         line = f"{path}: EER = {eer:.3f}%"
         if args.tdcf:
