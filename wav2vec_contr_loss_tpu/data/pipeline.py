@@ -3,7 +3,7 @@ device prefetch.
 
 The reference hides its input cost behind torch DataLoader workers doing
 librosa-per-file loading (reference: train_stage1.py call stack, SURVEY.md
-§3.1). The TPU equivalent: a thread pool decodes/pads clips into pinned
+§3.1). The TPU equivalent: a thread pool decodes/pads clips into
 numpy batches of *static* shape (B, 80000), an optional host RawBoost pass
 (faithful mode), and a double-buffered `jax.device_put` prefetcher so the
 chip never waits on input.
