@@ -86,6 +86,7 @@ class Stage1Config:
     remat_policy: str = "full"          # 'full' | 'dots' (keep matmul outputs)
     scan_unroll: int = 1                # encoder layer-scan unroll factor
     fused_qkv: bool = False             # one (D,3D) qkv matmul per layer
+    attention_impl: str = "xla"         # 'xla' | 'pallas' (fused VMEM attn)
     supcon_impl: str = "xla"            # 'xla' | 'pallas' (fused kernel)
 
     def replace(self, **kw) -> "Stage1Config":

@@ -77,6 +77,10 @@ class Wav2Vec2Config:
     # fuse q/k/v projections into one (D, 3D) matmul (fewer, larger MXU
     # launches); hf_convert concatenates the torch weights to match
     fused_qkv: bool = False
+    # 'xla' (einsum attention) | 'pallas' (fused VMEM-resident kernel with
+    # hardware-PRNG dropout — removes the (B,H,T,T) HBM round trips that
+    # cost ~40% of the finetune step; see ops/attention_pallas.py)
+    attention_impl: str = "xla"
 
     def with_(self, **kw) -> "Wav2Vec2Config":
         return dataclasses.replace(self, **kw)
@@ -238,6 +242,27 @@ class SelfAttention(nn.Module):
         q = q.reshape(b, t, h, hd)
         k = k.reshape(b, t, h, hd)
         v = v.reshape(b, t, h, hd)
+
+        if cfg.attention_impl == "pallas":
+            from ..ops.attention_pallas import fused_attention
+
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            if rate > 0.0:
+                rng = self.make_rng("dropout")
+                seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            to_bh = lambda a: a.transpose(0, 2, 1, 3).reshape(b * h, t, hd)
+            bias2d = (
+                key_bias[:, 0, 0, :] if key_bias is not None
+                else jnp.zeros((b, t), jnp.float32)
+            )
+            out = fused_attention(to_bh(q), to_bh(k), to_bh(v), bias2d,
+                                  seed, rate, h)
+            out = out.reshape(b, h, t, hd).transpose(0, 2, 1, 3)
+            return dense("out_proj")(out.reshape(b, t, d).astype(cfg.dtype))
+
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if key_bias is not None:

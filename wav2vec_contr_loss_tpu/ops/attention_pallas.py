@@ -1,0 +1,190 @@
+"""Fused self-attention Pallas kernel: logits -> masked softmax ->
+dropout -> AV, entirely VMEM-resident, with a recompute (flash-style)
+custom VJP.
+
+Why: profiling the XLS-R finetune step showed attention-probs dropout
+costing ~40% of the step — not the RNG math itself, but the fact that
+dropout between softmax and the AV matmul forces XLA to materialize the
+(B, H, T, T) fp32 probabilities through HBM several times per layer
+(fwd + the remat backward). At this model's T=249 the whole per-(batch,
+head) working set — q/k/v (T,64), logits (T,T) fp32 — fits VMEM with room
+to spare, so one kernel per (batch*head) eliminates every T x T HBM
+round-trip. Dropout bits come from the TPU hardware PRNG
+(pltpu.prng_random_bits), seeded per program so the backward pass can
+regenerate the identical mask instead of storing it.
+
+Backward (residuals: q, k, v, bias, seed — probabilities recomputed):
+    dv = p_dropᵀ g
+    dp = g vᵀ  (through dropout: dp *= mask)
+    ds = p ⊙ (dp − Σ_k dp ⊙ p)          # softmax VJP
+    dq = ds k,   dk = dsᵀ q
+
+Semantics: same masked-softmax attention as the XLA path; the dropout
+stream differs from flax's threefry (different RNG — dropout parity is
+statistical by nature, as it already is vs the torch reference).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_attention"]
+
+
+def _probs(q, k, bias):
+    logits = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits + bias  # (T, T) + (1, T) broadcast: -1e30 on masked keys
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _random_bits(shape, seed):
+    """Counter-based in-kernel bit generator (murmur3 finalizer over
+    (row, col, seed)): deterministic given the seed — the backward kernel
+    regenerates the identical mask — VMEM-resident, and identical across
+    TPU-compiled and CPU-interpreted execution (pltpu.prng_* has no CPU
+    interpreter lowering). Dropout needs decorrelated bits, not
+    cryptographic ones; the finalizer's avalanche is plenty."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    h = (r * jnp.uint32(2654435761)) ^ (c * jnp.uint32(0x9E3779B9))
+    h = h ^ (seed.astype(jnp.uint32) * jnp.uint32(2246822519) + jnp.uint32(0x85EBCA6B))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _dropout_mask(shape, rate: float, seed):
+    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    keep = _random_bits(shape, seed) >= threshold
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    p = _probs(q, k, bias_ref[:])
+    if rate > 0.0:
+        p = p * _dropout_mask(p.shape, rate, seed_ref[0] + pl.program_id(0))
+    o_ref[0] = jnp.dot(p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, rate):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    p = _probs(q, k, bias_ref[:])
+    if rate > 0.0:
+        mask = _dropout_mask(p.shape, rate, seed_ref[0] + pl.program_id(0))
+        p_drop = p * mask
+    else:
+        mask = None
+        p_drop = p
+    dv = jax.lax.dot_general(  # p_dropᵀ g
+        p_drop, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(  # g vᵀ
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        dp = dp * mask
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(  # dsᵀ q
+        ds, q.astype(jnp.float32), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(bh: int, heads: int, t: int, d: int, n_tensors: int):
+    """grid over batch*head; q/k/v/g blocks (1,T,D); bias row per batch.
+    index maps take (grid_idx, scalar_prefetch_ref)."""
+    qkv = [
+        pl.BlockSpec((1, t, d), lambda i, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_tensors)
+    ]
+    bias = pl.BlockSpec((1, t), lambda i, s: (i // heads, 0),
+                        memory_space=pltpu.VMEM)
+    return qkv, bias
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(q, k, v, bias, seed, rate: float = 0.0,
+                    heads: int = 1):
+    """q, k, v: (B*H, T, D); bias: (B, T) additive key mask (-1e30 masked);
+    seed: int32 scalar; rate/heads static. -> (B*H, T, D).
+    q must arrive pre-scaled (1/sqrt(D))."""
+    return _fwd(q, k, v, bias, seed, rate, heads)[0]
+
+
+def _call(kernel, out_shapes, out_specs, q, k, v, bias, seed, extra=(),
+          extra_specs=(), *, heads):
+    bh, t, d = q.shape
+    qkv_specs, bias_spec = _specs(bh, heads, t, d, 3 + len(extra))
+    interpret = jax.default_backend() != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=qkv_specs[:3] + [bias_spec] + list(extra_specs or qkv_specs[3:]),
+        out_specs=out_specs,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), q, k, v, bias, *extra)
+
+
+def _fwd(q, k, v, bias, seed, rate, heads):
+    bh, t, d = q.shape
+    out = _call(
+        partial(_fwd_kernel, rate=rate),
+        jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        pl.BlockSpec((1, t, d), lambda i, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        q, k, v, bias, seed, heads=heads,
+    )
+    return out, (q, k, v, bias, seed)
+
+
+def _bwd(rate, heads, res, g):
+    q, k, v, bias, seed = res
+    bh, t, d = q.shape
+    blk = pl.BlockSpec((1, t, d), lambda i, s: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    dq, dk, dv = _call(
+        partial(_bwd_kernel, rate=rate),
+        (jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+         jax.ShapeDtypeStruct((bh, t, d), k.dtype),
+         jax.ShapeDtypeStruct((bh, t, d), v.dtype)),
+        (blk, blk, blk),
+        q, k, v, bias, seed, extra=(g,), heads=heads,
+    )
+    return dq, dk, dv, None, None
+
+
+fused_attention.defvjp(_fwd, _bwd)

@@ -104,6 +104,7 @@ class Stage1Trainer:
             remat_policy=getattr(cfg, "remat_policy", "full"),
             scan_unroll=getattr(cfg, "scan_unroll", 1),
             fused_qkv=getattr(cfg, "fused_qkv", False),
+            attention_impl=getattr(cfg, "attention_impl", "xla"),
         )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
