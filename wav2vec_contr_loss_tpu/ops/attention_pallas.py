@@ -9,9 +9,9 @@ dropout between softmax and the AV matmul forces XLA to materialize the
 (fwd + the remat backward). At this model's T=249 the whole per-(batch,
 head) working set — q/k/v (T,64), logits (T,T) fp32 — fits VMEM with room
 to spare, so one kernel per (batch*head) eliminates every T x T HBM
-round-trip. Dropout bits come from the TPU hardware PRNG
-(pltpu.prng_random_bits), seeded per program so the backward pass can
-regenerate the identical mask instead of storing it.
+round-trip. Dropout bits come from a counter-based in-kernel generator
+(murmur3 finalizer, see _random_bits), seeded per program so the backward
+pass regenerates the identical mask instead of storing it.
 
 Backward (residuals: q, k, v, bias, seed — probabilities recomputed):
     dv = p_dropᵀ g
@@ -73,11 +73,13 @@ def _dropout_mask(shape, rate: float, seed):
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate,
+                heads):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    p = _probs(q, k, bias_ref[:])
+    bias = bias_ref[pl.ds(pl.program_id(0) // heads, 1), :]  # (1, T)
+    p = _probs(q, k, bias)
     if rate > 0.0:
         p = p * _dropout_mask(p.shape, rate, seed_ref[0] + pl.program_id(0))
     o_ref[0] = jnp.dot(p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
@@ -85,12 +87,13 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate):
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, rate):
+                dq_ref, dk_ref, dv_ref, *, rate, heads):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
-    p = _probs(q, k, bias_ref[:])
+    bias = bias_ref[pl.ds(pl.program_id(0) // heads, 1), :]
+    p = _probs(q, k, bias)
     if rate > 0.0:
         mask = _dropout_mask(p.shape, rate, seed_ref[0] + pl.program_id(0))
         p_drop = p * mask
@@ -119,15 +122,16 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
 
 
 def _specs(bh: int, heads: int, t: int, d: int, n_tensors: int):
-    """grid over batch*head; q/k/v/g blocks (1,T,D); bias row per batch.
+    """grid over batch*head; q/k/v/g blocks (1,T,D); the bias (B,T) array is
+    small and rides whole in VMEM (TPU block shapes must tile to (8,128) or
+    equal the array dims — a (1,T) block of a (B,T) array does neither).
     index maps take (grid_idx, scalar_prefetch_ref)."""
     qkv = [
         pl.BlockSpec((1, t, d), lambda i, s: (i, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(n_tensors)
     ]
-    bias = pl.BlockSpec((1, t), lambda i, s: (i // heads, 0),
-                        memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec(memory_space=pltpu.VMEM)
     return qkv, bias
 
 
@@ -162,7 +166,7 @@ def _call(kernel, out_shapes, out_specs, q, k, v, bias, seed, extra=(),
 def _fwd(q, k, v, bias, seed, rate, heads):
     bh, t, d = q.shape
     out = _call(
-        partial(_fwd_kernel, rate=rate),
+        partial(_fwd_kernel, rate=rate, heads=heads),
         jax.ShapeDtypeStruct((bh, t, d), q.dtype),
         pl.BlockSpec((1, t, d), lambda i, s: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -177,7 +181,7 @@ def _bwd(rate, heads, res, g):
     blk = pl.BlockSpec((1, t, d), lambda i, s: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     dq, dk, dv = _call(
-        partial(_bwd_kernel, rate=rate),
+        partial(_bwd_kernel, rate=rate, heads=heads),
         (jax.ShapeDtypeStruct((bh, t, d), q.dtype),
          jax.ShapeDtypeStruct((bh, t, d), k.dtype),
          jax.ShapeDtypeStruct((bh, t, d), v.dtype)),
