@@ -12,36 +12,31 @@ from wav2vec_contr_loss_tpu.ops.attention_pallas import fused_attention
 
 
 def xla_reference(q, k, v, bias):
-    """Mirrors the kernel's dtype choices (bf16 dots, fp32 softmax)."""
-    logits = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    logits = logits + bias[:, None, :]
+    """Mirrors the kernel's dtype choices (bf16 dots, fp32 softmax).
+    q/k/v: (B, H, T, D); bias: (B, T)."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.bfloat16),
+                        k.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    logits = logits + bias[:, None, None, :]
     p = jax.nn.softmax(logits, axis=-1)
-    return jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(jnp.bfloat16),
+                      v.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
 
 
 def make_inputs(rng, b=2, h=3, t=40, d=16, masked_tail=7):
-    bh = b * h
-    q = rng.normal(0, 1, (bh, t, d)).astype(np.float32)
-    k = rng.normal(0, 1, (bh, t, d)).astype(np.float32)
-    v = rng.normal(0, 1, (bh, t, d)).astype(np.float32)
+    q = rng.normal(0, 1, (b, h, t, d)).astype(np.float32)
+    k = rng.normal(0, 1, (b, h, t, d)).astype(np.float32)
+    v = rng.normal(0, 1, (b, h, t, d)).astype(np.float32)
     bias = np.zeros((b, t), np.float32)
     bias[-1, -masked_tail:] = -1e30
-    bias_bh = np.repeat(bias, h, axis=0)  # per-(b,h) row for the reference
-    return q, k, v, bias, bias_bh, h
+    return q, k, v, bias, bias, h
 
 
 def test_forward_matches_xla(rng):
     q, k, v, bias, bias_bh, h = make_inputs(rng)
     got = np.asarray(fused_attention(q, k, v, bias, 0, 0.0, h))
-    want = np.asarray(xla_reference(q, k, v, bias_bh))
+    want = np.asarray(xla_reference(q, k, v, bias))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-2)
 
 
@@ -52,7 +47,7 @@ def test_grads_match_xla(rng):
         return jnp.sum(fused_attention(q, k, v, bias, 0, 0.0, h) ** 2)
 
     def f_xla(q, k, v):
-        return jnp.sum(xla_reference(q, k, v, bias_bh) ** 2)
+        return jnp.sum(xla_reference(q, k, v, bias) ** 2)
 
     gp = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
@@ -100,25 +95,26 @@ def test_dropout_forward_and_vjp_exact_mask(rng):
     """The kernel's dropout mask is reproducible in numpy, so both the
     dropped forward and the custom VJP can be checked against an XLA mock
     using the exact same mask."""
-    q, k, v, bias, bias_bh, h = make_inputs(rng, b=1, h=2, t=24, d=8,
-                                            masked_tail=3)
+    q, k, v, bias, _, h = make_inputs(rng, b=2, h=2, t=24, d=8,
+                                      masked_tail=3)
     seed, rate = 7, 0.3
-    bh, t, _ = q.shape
-    masks = np.stack([np_murmur_mask((t, t), seed + i, rate)
-                      for i in range(bh)])
+    b, hh, t, _ = q.shape
+    # kernel seeding: seed + batch_idx * heads + head_idx
+    masks = np.stack([
+        np.stack([np_murmur_mask((t, t), seed + bi * hh + hi, rate)
+                  for hi in range(hh)])
+        for bi in range(b)
+    ])  # (B, H, T, T)
 
     def xla_with_mask(q, k, v):
-        logits = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) + bias_bh[:, None, :]
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.bfloat16),
+                            k.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        logits = logits + bias[:, None, None, :]
         p = jax.nn.softmax(logits, axis=-1) * masks
-        return jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
 
     got = np.asarray(fused_attention(q, k, v, bias, seed, rate, h))
     want = np.asarray(xla_with_mask(q, k, v))

@@ -253,14 +253,14 @@ class SelfAttention(nn.Module):
                                           dtype=jnp.int32)
             else:
                 seed = jnp.zeros((), jnp.int32)
-            to_bh = lambda a: a.transpose(0, 2, 1, 3).reshape(b * h, t, hd)
+            to_bhtd = lambda a: a.transpose(0, 2, 1, 3)  # (B, H, T, hd)
             bias2d = (
                 key_bias[:, 0, 0, :] if key_bias is not None
                 else jnp.zeros((b, t), jnp.float32)
             )
-            out = fused_attention(to_bh(q), to_bh(k), to_bh(v), bias2d,
+            out = fused_attention(to_bhtd(q), to_bhtd(k), to_bhtd(v), bias2d,
                                   seed, rate, h)
-            out = out.reshape(b, h, t, hd).transpose(0, 2, 1, 3)
+            out = out.transpose(0, 2, 1, 3)
             return dense("out_proj")(out.reshape(b, t, d).astype(cfg.dtype))
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,

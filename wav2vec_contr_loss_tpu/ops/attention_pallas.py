@@ -3,14 +3,17 @@ dropout -> AV, entirely VMEM-resident, with a recompute (flash-style)
 custom VJP.
 
 Why: profiling the XLS-R finetune step showed attention-probs dropout
-costing ~40% of the step — not the RNG math itself, but the fact that
-dropout between softmax and the AV matmul forces XLA to materialize the
-(B, H, T, T) fp32 probabilities through HBM several times per layer
-(fwd + the remat backward). At this model's T=249 the whole per-(batch,
-head) working set — q/k/v (T,64), logits (T,T) fp32 — fits VMEM with room
-to spare, so one kernel per (batch*head) eliminates every T x T HBM
-round-trip. Dropout bits come from a counter-based in-kernel generator
-(murmur3 finalizer, see _random_bits), seeded per program so the backward
+costing ~35% of the step (86 -> 130 clips/s with it disabled) — not the
+RNG math itself, but the (B, H, T, T) fp32 probabilities materializing
+through HBM several times per layer (fwd + the remat backward). At this
+model's T=249 the whole per-batch working set — q/k/v (H,T,64) bf16,
+one (T,T) fp32 logits panel at a time — fits VMEM, so the kernel runs one
+program per *batch element* with a static loop over heads (one program per
+(batch, head) leaves the MXU idle behind per-program pipeline overhead at
+these tiny block sizes).
+
+Dropout bits come from a counter-based in-kernel generator (murmur3
+finalizer, see _random_bits), seeded per (program, head) so the backward
 pass regenerates the identical mask instead of storing it.
 
 Backward (residuals: q, k, v, bias, seed — probabilities recomputed):
@@ -73,86 +76,76 @@ def _dropout_mask(shape, rate: float, seed):
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
 
 
+def _head_seed(seed_ref, heads: int, h: int):
+    return seed_ref[0] + pl.program_id(0) * heads + h
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate,
                 heads):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    bias = bias_ref[pl.ds(pl.program_id(0) // heads, 1), :]  # (1, T)
-    p = _probs(q, k, bias)
-    if rate > 0.0:
-        p = p * _dropout_mask(p.shape, rate, seed_ref[0] + pl.program_id(0))
-    o_ref[0] = jnp.dot(p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    bias = bias_ref[pl.ds(pl.program_id(0), 1), :]       # (1, T)
+    for h in range(heads):  # static unroll: big blocks, one program/batch
+        p = _probs(q_ref[0, h], k_ref[0, h], bias)
+        if rate > 0.0:
+            p = p * _dropout_mask(p.shape, rate, _head_seed(seed_ref, heads, h))
+        o_ref[0, h] = jnp.dot(
+            p.astype(jnp.bfloat16), v_ref[0, h].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, bias_ref,
                 dq_ref, dk_ref, dv_ref, *, rate, heads):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    bias = bias_ref[pl.ds(pl.program_id(0) // heads, 1), :]
-    p = _probs(q, k, bias)
-    if rate > 0.0:
-        mask = _dropout_mask(p.shape, rate, seed_ref[0] + pl.program_id(0))
-        p_drop = p * mask
-    else:
-        mask = None
-        p_drop = p
-    dv = jax.lax.dot_general(  # p_dropᵀ g
-        p_drop, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(  # g vᵀ
-        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if mask is not None:
-        dp = dp * mask
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(  # dsᵀ q
-        ds, q.astype(jnp.float32), dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    bias = bias_ref[pl.ds(pl.program_id(0), 1), :]
+    for h in range(heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h].astype(jnp.bfloat16)
+        g = g_ref[0, h].astype(jnp.bfloat16)
+        p = _probs(q, k, bias)
+        if rate > 0.0:
+            mask = _dropout_mask(p.shape, rate, _head_seed(seed_ref, heads, h))
+            p_drop = p * mask
+        else:
+            mask = None
+            p_drop = p
+        dv = jax.lax.dot_general(  # p_dropᵀ g
+            p_drop.astype(jnp.bfloat16), g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # g vᵀ
+            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if mask is not None:
+            dp = dp * mask
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = ds.astype(jnp.bfloat16)
+        dq = jnp.dot(ds16, k.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(  # dsᵀ q
+            ds16, q.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
-def _specs(bh: int, heads: int, t: int, d: int, n_tensors: int):
-    """grid over batch*head; q/k/v/g blocks (1,T,D); the bias (B,T) array is
-    small and rides whole in VMEM (TPU block shapes must tile to (8,128) or
-    equal the array dims — a (1,T) block of a (B,T) array does neither).
-    index maps take (grid_idx, scalar_prefetch_ref)."""
-    qkv = [
-        pl.BlockSpec((1, t, d), lambda i, s: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in range(n_tensors)
-    ]
-    bias = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return qkv, bias
+def _blk(heads, t, d):
+    return pl.BlockSpec((1, heads, t, d), lambda i, s: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_attention(q, k, v, bias, seed, rate: float = 0.0,
-                    heads: int = 1):
-    """q, k, v: (B*H, T, D); bias: (B, T) additive key mask (-1e30 masked);
-    seed: int32 scalar; rate/heads static. -> (B*H, T, D).
-    q must arrive pre-scaled (1/sqrt(D))."""
-    return _fwd(q, k, v, bias, seed, rate, heads)[0]
-
-
-def _call(kernel, out_shapes, out_specs, q, k, v, bias, seed, extra=(),
-          extra_specs=(), *, heads):
-    bh, t, d = q.shape
-    qkv_specs, bias_spec = _specs(bh, heads, t, d, 3 + len(extra))
+def _call(kernel, out_shapes, out_specs, tensors, bias, seed, *, heads):
+    b, h, t, d = tensors[0].shape
     interpret = jax.default_backend() != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh,),
-        in_specs=qkv_specs[:3] + [bias_spec] + list(extra_specs or qkv_specs[3:]),
+        grid=(b,),
+        in_specs=[_blk(h, t, d) for _ in tensors]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],  # bias (B,T) whole
         out_specs=out_specs,
     )
     return pl.pallas_call(
@@ -160,33 +153,39 @@ def _call(kernel, out_shapes, out_specs, q, k, v, bias, seed, extra=(),
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), q, k, v, bias, *extra)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *tensors, bias)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(q, k, v, bias, seed, rate: float = 0.0,
+                    heads: int = 1):
+    """q, k, v: (B, H, T, D); bias: (B, T) additive key mask (-1e30 masked);
+    seed: int32 scalar; rate/heads static. -> (B, H, T, D).
+    q must arrive pre-scaled (1/sqrt(D))."""
+    return _fwd(q, k, v, bias, seed, rate, heads)[0]
 
 
 def _fwd(q, k, v, bias, seed, rate, heads):
-    bh, t, d = q.shape
+    b, h, t, d = q.shape
     out = _call(
-        partial(_fwd_kernel, rate=rate, heads=heads),
-        jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-        pl.BlockSpec((1, t, d), lambda i, s: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        q, k, v, bias, seed, heads=heads,
+        partial(_fwd_kernel, rate=rate, heads=h),
+        jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        _blk(h, t, d),
+        (q, k, v), bias, seed, heads=h,
     )
     return out, (q, k, v, bias, seed)
 
 
 def _bwd(rate, heads, res, g):
     q, k, v, bias, seed = res
-    bh, t, d = q.shape
-    blk = pl.BlockSpec((1, t, d), lambda i, s: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
+    b, h, t, d = q.shape
     dq, dk, dv = _call(
-        partial(_bwd_kernel, rate=rate, heads=heads),
-        (jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-         jax.ShapeDtypeStruct((bh, t, d), k.dtype),
-         jax.ShapeDtypeStruct((bh, t, d), v.dtype)),
-        (blk, blk, blk),
-        q, k, v, bias, seed, extra=(g,), heads=heads,
+        partial(_bwd_kernel, rate=rate, heads=h),
+        (jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+         jax.ShapeDtypeStruct((b, h, t, d), k.dtype),
+         jax.ShapeDtypeStruct((b, h, t, d), v.dtype)),
+        (_blk(h, t, d), _blk(h, t, d), _blk(h, t, d)),
+        (q, k, v, g), bias, seed, heads=h,
     )
     return dq, dk, dv, None, None
 
