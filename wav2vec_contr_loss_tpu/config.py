@@ -87,6 +87,7 @@ class Stage1Config:
     scan_unroll: int = 1                # encoder layer-scan unroll factor
     fused_qkv: bool = False             # one (D,3D) qkv matmul per layer
     attention_impl: str = "xla"         # 'xla' | 'pallas' (fused VMEM attn)
+    dropout_impl: str = "threefry"      # 'threefry' | 'murmur' (fast hash)
     supcon_impl: str = "xla"            # 'xla' | 'pallas' (fused kernel)
 
     def replace(self, **kw) -> "Stage1Config":

@@ -81,6 +81,10 @@ class Wav2Vec2Config:
     # hardware-PRNG dropout — removes the (B,H,T,T) HBM round trips that
     # cost ~40% of the finetune step; see ops/attention_pallas.py)
     attention_impl: str = "xla"
+    # 'threefry' (jax.random, ~100 int-ops/word) | 'murmur' (counter-based
+    # hash, ~10 ops, XLA-fused — measured ~45 ms/step cheaper at the
+    # finetune recipe; see ops/fast_dropout.py)
+    dropout_impl: str = "threefry"
 
     def with_(self, **kw) -> "Wav2Vec2Config":
         return dataclasses.replace(self, **kw)
@@ -129,6 +133,18 @@ def _frame_lengths(sample_lengths: jnp.ndarray, config: Wav2Vec2Config) -> jnp.n
     for k, s in zip(config.conv_kernel, config.conv_stride):
         n = (n - k) // s + 1
     return n
+
+
+def _dropout(mod: nn.Module, cfg: "Wav2Vec2Config", x: jnp.ndarray,
+             rate: float, deterministic: bool) -> jnp.ndarray:
+    """Dropout dispatch: flax/threefry or the fused counter-hash variant."""
+    if deterministic or rate <= 0.0:
+        return x
+    if cfg.dropout_impl == "murmur":
+        from ..ops.fast_dropout import murmur_dropout
+
+        return murmur_dropout(x, mod.make_rng("dropout"), rate)
+    return nn.Dropout(rate)(x, deterministic=False)
 
 
 class _ConvLayerNorm(nn.Module):
@@ -192,7 +208,7 @@ class FeatureProjection(nn.Module):
                          param_dtype=jnp.float32, name="layer_norm")(x)
         x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=jnp.float32,
                      name="projection")(x.astype(cfg.dtype))
-        return nn.Dropout(cfg.feat_proj_dropout)(x, deterministic=deterministic)
+        return _dropout(self, cfg, x, cfg.feat_proj_dropout, deterministic)
 
 
 class PositionalConvEmbedding(nn.Module):
@@ -268,7 +284,7 @@ class SelfAttention(nn.Module):
         if key_bias is not None:
             logits = logits + key_bias  # (B, 1, 1, T) additive -inf mask
         probs = jax.nn.softmax(logits, axis=-1)
-        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+        probs = _dropout(self, cfg, probs, cfg.attention_dropout, deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(cfg.dtype), v)
         return dense("out_proj")(out.reshape(b, t, d))
 
@@ -282,10 +298,10 @@ class FeedForward(nn.Module):
         x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
                      param_dtype=jnp.float32, name="intermediate_dense")(x)
         x = jax.nn.gelu(x, approximate=False)
-        x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
+        x = _dropout(self, cfg, x, cfg.activation_dropout, deterministic)
         x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=jnp.float32,
                      name="output_dense")(x)
-        return nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        return _dropout(self, cfg, x, cfg.hidden_dropout, deterministic)
 
 
 class EncoderLayer(nn.Module):
@@ -306,14 +322,14 @@ class EncoderLayer(nn.Module):
                                        param_dtype=jnp.float32, name=name)
         attn = SelfAttention(cfg, name="attention")
         ff = FeedForward(cfg, name="feed_forward")
-        drop = nn.Dropout(cfg.hidden_dropout)
+        drop = lambda y: _dropout(self, cfg, y, cfg.hidden_dropout,
+                                  deterministic)
         if cfg.do_stable_layer_norm:
             y = ln("layer_norm")(x)
-            x = x + drop(attn(y, key_bias, deterministic),
-                         deterministic=deterministic)
+            x = x + drop(attn(y, key_bias, deterministic))
             y = ln("final_layer_norm")(x)
             return x + ff(y, deterministic)
-        x = x + drop(attn(x, key_bias, deterministic), deterministic=deterministic)
+        x = x + drop(attn(x, key_bias, deterministic))
         x = ln("layer_norm")(x)
         x = x + ff(x, deterministic)
         return ln("final_layer_norm")(x)
@@ -392,7 +408,7 @@ class Wav2Vec2Encoder(nn.Module):
                 epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                 param_dtype=jnp.float32, name="encoder_layer_norm",
             )(hidden).astype(cfg.dtype)
-        hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic=deterministic)
+        hidden = _dropout(self, cfg, hidden, cfg.hidden_dropout, deterministic)
 
         # ---- transformer stack as one scan over stacked layer params ----
         collect_all = return_all_hidden_states

@@ -1,0 +1,53 @@
+"""Counter-based dropout for XLA (murmur3-finalizer bits, no threefry).
+
+jax.random's threefry needs ~100 integer ops per 32-bit word; at this
+model's dropout volume (attention probs (B,H,T,T) x 24 layers + hidden
+dropouts, regenerated in the remat backward ~= 1.5G bits/step) that is
+~45 ms/step on a v5e — measured as the gap between dropout-on (86 clips/s)
+and dropout-off (139 clips/s) training. Dropout needs decorrelated bits,
+not a cryptographic stream: a murmur3 finalizer over (element counter,
+seed) is ~10 integer ops/word, fully fused by XLA into the surrounding
+elementwise chain, and deterministic given the seed (so the rematerialized
+backward regenerates identical masks by construction).
+
+The per-call seed is derived from the usual flax 'dropout' PRNG key (one
+threefry call for one scalar), so runs remain reproducible end-to-end.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["murmur_bits", "murmur_dropout"]
+
+# distinct odd multipliers per axis (knuth/murmur-style constants)
+_AXIS_MULTS = (2654435761, 2246822519, 3266489917, 668265263, 374761393,
+               2554388019, 2869860233, 179424673)
+
+
+def murmur_bits(shape, seed) -> jnp.ndarray:
+    """uint32 bits indexed by element coordinates + seed (deterministic)."""
+    h = seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + jnp.uint32(0x85EBCA6B)
+    for axis, dim in enumerate(shape):
+        if dim == 1:
+            continue
+        iota = jax.lax.broadcasted_iota(jnp.uint32, shape, axis)
+        h = h ^ (iota * jnp.uint32(_AXIS_MULTS[axis % len(_AXIS_MULTS)]))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def murmur_dropout(x: jnp.ndarray, rng: jax.Array, rate: float) -> jnp.ndarray:
+    """Inverted dropout with counter-based bits; `rng` is a normal PRNG key
+    (consumed once for a scalar seed)."""
+    if rate <= 0.0:
+        return x
+    seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    threshold = jnp.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    keep = murmur_bits(x.shape, seed) >= threshold
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))

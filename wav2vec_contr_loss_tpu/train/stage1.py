@@ -105,6 +105,7 @@ class Stage1Trainer:
             scan_unroll=getattr(cfg, "scan_unroll", 1),
             fused_qkv=getattr(cfg, "fused_qkv", False),
             attention_impl=getattr(cfg, "attention_impl", "xla"),
+            dropout_impl=getattr(cfg, "dropout_impl", "threefry"),
         )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
