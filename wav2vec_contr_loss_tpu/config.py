@@ -87,7 +87,10 @@ class Stage1Config:
     scan_unroll: int = 1                # encoder layer-scan unroll factor
     fused_qkv: bool = False             # one (D,3D) qkv matmul per layer
     attention_impl: str = "xla"         # 'xla' | 'pallas' (fused VMEM attn)
-    dropout_impl: str = "threefry"      # 'threefry' | 'murmur' (fast hash)
+    # 'murmur' (counter-hash bits, +29% finetune throughput) | 'threefry'
+    # (jax.random). Same Bernoulli semantics, different random stream —
+    # dropout parity vs the torch reference is statistical either way.
+    dropout_impl: str = "murmur"
     supcon_impl: str = "xla"            # 'xla' | 'pallas' (fused kernel)
 
     def replace(self, **kw) -> "Stage1Config":
