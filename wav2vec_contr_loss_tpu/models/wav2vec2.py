@@ -284,8 +284,11 @@ class SelfAttention(nn.Module):
         if key_bias is not None:
             logits = logits + key_bias  # (B, 1, 1, T) additive -inf mask
         probs = jax.nn.softmax(logits, axis=-1)
-        probs = _dropout(self, cfg, probs, cfg.attention_dropout, deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(cfg.dtype), v)
+        # dropout in the compute dtype (the torch-AMP behavior): halves the
+        # (B,H,T,T) traffic vs dropping out the fp32 probabilities
+        probs = _dropout(self, cfg, probs.astype(cfg.dtype),
+                         cfg.attention_dropout, deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return dense("out_proj")(out.reshape(b, t, d))
 
 
