@@ -98,7 +98,7 @@ long long decode_wav(const std::vector<uint8_t>& b, float* out,
     if (b.size() < 44 || memcmp(b.data(), "RIFF", 4) || memcmp(b.data() + 8, "WAVE", 4))
         return -2;
     size_t pos = 12;
-    int fmt = 0, channels = 0, bps = 0;
+    int fmt = 0, channels = 0, bps = 0, sub_format = 0;
     uint32_t rate = 0;
     const uint8_t* pcm = nullptr;
     size_t pcm_size = 0;
@@ -111,6 +111,10 @@ long long decode_wav(const std::vector<uint8_t>& b, float* out,
             channels = p[10] | (p[11] << 8);
             memcpy(&rate, p + 12, 4);
             bps = p[22] | (p[23] << 8);
+            // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+            // bytes of the SubFormat GUID at offset 24 of the fmt chunk
+            if (fmt == 0xFFFE && sz >= 40 && pos + 8 + 26 <= b.size())
+                sub_format = p[8 + 24] | (p[8 + 25] << 8);
         } else if (!memcmp(p, "data", 4)) {
             pcm = p + 8;
             pcm_size = sz;
@@ -120,13 +124,20 @@ long long decode_wav(const std::vector<uint8_t>& b, float* out,
         pos += 8 + sz + (sz & 1);
     }
     if (!pcm || channels <= 0 || rate == 0) return -2;
-    if (fmt != 1 && fmt != 3 && fmt != 0xFFFE) return -2;
+    if (fmt == 0xFFFE) {
+        // resolve extensible to its SubFormat (1 = PCM, 3 = IEEE float);
+        // anything else (ALAW, GUID missing/truncated, ...) is unsupported
+        if (sub_format != 1 && sub_format != 3) return -2;
+        fmt = sub_format;
+    }
+    if (fmt != 1 && fmt != 3) return -2;
+    if (fmt == 3 && bps != 32) return -2;  // only float32 (no float64)
 
     int bytes = bps / 8;
     if (bytes < 1 || bytes > 4) return -2;
     long long frames = (long long)(pcm_size / (size_t)(bytes * channels));
     if (frames > cap) return -3;
-    const bool is_float = (fmt == 3) || (fmt == 0xFFFE && bps == 32);
+    const bool is_float = (fmt == 3);
     for (long long i = 0; i < frames; ++i) {
         double acc = 0.0;
         for (int c = 0; c < channels; ++c) {
@@ -215,6 +226,11 @@ bool decode_subframe(BitReader& br, int32_t* x, int n, int bps) {
         int porder = (int)br.bits(4);
         int parts = 1 << porder;
         if ((n >> porder) == 0 || (n % parts) != 0) return false;
+        // libFLAC validation: the first partition holds (n>>porder) - order
+        // samples; order greater than that would make its count negative and
+        // later partitions would write past x[n] (heap overflow on a
+        // crafted/corrupted stream).
+        if (order > (n >> porder)) return false;
         int idx = order;
         for (int p = 0; p < parts; ++p) {
             int count = (n >> porder) - (p == 0 ? order : 0);

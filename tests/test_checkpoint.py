@@ -1,0 +1,53 @@
+"""Checkpoint crash-safety: a failure mid-save must never destroy the
+previous checkpoint (ADVICE.md r1: the old code rmtree'd 'latest' before
+Orbax wrote the replacement)."""
+
+import numpy as np
+import pytest
+
+from wav2vec_contr_loss_tpu.train import checkpoint as ckpt
+
+
+def _state(v: float):
+    return {"w": np.full((3,), v, np.float32),
+            "step": np.asarray(int(v), np.int32)}
+
+
+def test_save_restore_roundtrip(tmp_path):
+    d = str(tmp_path)
+    ckpt.save_checkpoint(d, "latest", _state(1.0), config={"A": 1},
+                         metrics={"loss": 0.5}, extra={"k": "v"})
+    state, sidecar = ckpt.restore_checkpoint(d, "latest", _state(0.0))
+    np.testing.assert_array_equal(state["w"], np.full((3,), 1.0, np.float32))
+    assert sidecar["config"] == {"A": 1}
+    assert ckpt.checkpoint_exists(d, "latest")
+
+
+def test_crash_mid_save_preserves_previous(tmp_path, monkeypatch):
+    d = str(tmp_path)
+    ckpt.save_checkpoint(d, "latest", _state(1.0), config={"epoch": 1})
+
+    c = ckpt._checkpointer()
+    real_save = c.save
+
+    def exploding_save(path, *a, **kw):
+        real_save(path, *a, **kw)
+        c.wait_until_finished()  # tmp fully on disk, then "crash"
+        raise RuntimeError("simulated crash during checkpoint write")
+
+    monkeypatch.setattr(type(c), "save",
+                        lambda self, path, *a, **kw: exploding_save(path, *a, **kw))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ckpt.save_checkpoint(d, "latest", _state(2.0), config={"epoch": 2})
+    monkeypatch.undo()
+
+    # the previous checkpoint (v=1) must survive, data AND sidecar
+    state, sidecar = ckpt.restore_checkpoint(d, "latest", _state(0.0))
+    np.testing.assert_array_equal(state["w"], np.full((3,), 1.0, np.float32))
+    assert sidecar["config"] == {"epoch": 1}
+
+    # and a later successful save self-heals (stale .saving dir cleaned up)
+    ckpt.save_checkpoint(d, "latest", _state(3.0), config={"epoch": 3})
+    state, sidecar = ckpt.restore_checkpoint(d, "latest", _state(0.0))
+    np.testing.assert_array_equal(state["w"], np.full((3,), 3.0, np.float32))
+    assert sidecar["config"] == {"epoch": 3}

@@ -171,6 +171,42 @@ def test_device_filter_centered_matches_host(clip):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_device_lnl_gain_schedule_matches_host(clip, monkeypatch):
+    """The lin/non-lin gain bias kicks in at pass i==1 and PERSISTS for all
+    later passes (reference: RawBoost.py:62-65). Round-1 device code reset
+    it for i>=2, leaving the x^3..x^5 distortion 5-20 dB louder than the
+    reference (ADVICE.md high). The (min_g, max_g) arguments are trace-time
+    Python floats, so we can capture the exact schedule on both paths."""
+    import jax
+    import jax.numpy as jnp
+    from wav2vec_contr_loss_tpu.ops import rawboost as rbd
+
+    dev_calls = []
+    real_chain = rbd._notch_chain
+
+    def spy_chain(key, p, min_g, max_g):
+        dev_calls.append((float(min_g), float(max_g)))
+        return real_chain(key, p, min_g, max_g)
+
+    monkeypatch.setattr(rbd, "_notch_chain", spy_chain)
+    rbd._lnl(jnp.asarray(clip, jnp.float32), jax.random.PRNGKey(0), PARAMS)
+
+    host_calls = []
+    real_gen = rb.gen_notch_coeffs
+
+    def spy_gen(rng, p, min_g, max_g):
+        host_calls.append((float(min_g), float(max_g)))
+        return real_gen(rng, p, min_g, max_g)
+
+    monkeypatch.setattr(rb, "gen_notch_coeffs", spy_gen)
+    rb.lnl_convolutive_noise(clip, np.random.default_rng(0), PARAMS)
+
+    assert len(dev_calls) == len(host_calls) == PARAMS.n_f
+    assert dev_calls == host_calls
+    # and the schedule is the reference's: unbiased once, then biased forever
+    assert host_calls == [(0.0, 0.0)] + [(-5.0, -20.0)] * (PARAMS.n_f - 1)
+
+
 def test_device_batch_invariants(clip):
     import jax
     from wav2vec_contr_loss_tpu.ops import rawboost as rbd

@@ -127,12 +127,14 @@ def _lnl(x: jnp.ndarray, key: jax.Array, p: RawBoostParams) -> jnp.ndarray:
     """Convolutive noise over signal powers (reference: RawBoost.py:59-69)."""
     keys = jax.random.split(key, p.n_f)
     y = jnp.zeros_like(x)
+    # the lin/non-lin gain bias kicks in at pass i == 1 and PERSISTS for all
+    # later passes (reference: RawBoost.py:62-65 reassigns minG/maxG without
+    # restoring them) — the x^3..x^5 terms stay at the biased [-20,-5] dB
+    min_g, max_g = p.min_g, p.max_g
     for i in range(p.n_f):  # static unroll: n_f = 5
         if i == 1:
             min_g = p.min_g - p.min_bias_lin_nonlin
             max_g = p.max_g - p.max_bias_lin_nonlin
-        else:
-            min_g, max_g = p.min_g, p.max_g
         b, length = _notch_chain(keys[i], p, min_g, max_g)
         y = y + _filter_centered(jnp.power(x, i + 1), b, length)
     y = y - jnp.mean(y)

@@ -46,21 +46,33 @@ def save_checkpoint(directory: str, name: str, state: Any,
                     config: Optional[Dict] = None,
                     metrics: Optional[Dict] = None,
                     extra: Optional[Dict] = None) -> str:
-    """Write <directory>/<name> (atomic: orbax writes tmp then renames).
+    """Write <directory>/<name>, crash-safe: the new state is fully written
+    to a temp sibling before the previous checkpoint is touched, so a crash
+    mid-save never destroys the existing 'latest'/'best'.
 
     `config` is the reference-parity UPPERCASE dict; `extra` carries
     framework-side reload data (e.g. the encoder architecture dict)."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.abspath(os.path.join(directory, name))
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    tmp = path + ".saving"
+    old = path + ".replaced"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     c = _checkpointer()
-    c.save(path, _host_tree(state))
+    c.save(tmp, _host_tree(state))
     c.wait_until_finished()  # StandardCheckpointer saves asynchronously
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
     sidecar = {"config": config or {}, "metrics": metrics or {},
                "extra": extra or {}}
-    with open(path + ".config.json", "w") as f:
+    sidecar_tmp = path + ".config.json.tmp"
+    with open(sidecar_tmp, "w") as f:
         json.dump(sidecar, f, indent=2, default=str)
+    os.replace(sidecar_tmp, path + ".config.json")
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return path
 
 
