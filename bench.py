@@ -1,9 +1,20 @@
 """Benchmark: stage-1 SupCon training throughput on the flagship config.
 
 Measures clips/sec/chip for the reference's published sweep configuration —
-XLS-R-300m (315M params), finetune_encoder=1, batch 32, 5 s clips, RawBoost
-on (fused on-device here) — the exact workload whose A40 throughput BASELINE.md
-derives as ~20-30 clips/s (train_stage1.sbatch:71-80, ~13.1 h pipeline).
+XLS-R-300m (315M params), batch 32, 5 s clips, RawBoost on (fused on-device
+here) — the exact workload whose A40 throughput BASELINE.md derives as
+~20-30 clips/s (train_stage1.sbatch:71-80, ~13.1 h pipeline).
+
+Modes:
+  default / --mode finetune : finetune_encoder=1 (the published sweep)
+  --mode frozen             : frozen encoder (the reference's config DEFAULT,
+                              stage1_config.py:30) — second tracked figure
+  --attention {xla,pallas}  : attention implementation under test
+                              (adjudication: VERDICT r1 weak #3)
+
+The TPU execution knobs (remat='dots', scan_unroll=24, murmur dropout) are
+the Stage1Config DEFAULTS since round 2 — what bench measures is what every
+preset/CLI run gets.
 
 vs_baseline uses the A40 upper bound (30 clips/s), i.e. the strictest
 comparison.
@@ -13,6 +24,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -22,8 +34,14 @@ import numpy as np
 A40_BASELINE_CLIPS_PER_SEC = 30.0  # BASELINE.md derived upper bound
 
 
-def main() -> None:
+def main(argv=None) -> None:
     import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["finetune", "frozen"], default="finetune")
+    ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args(argv)
 
     import jax
 
@@ -43,16 +61,14 @@ def main() -> None:
     batch_size = 32
     cfg = Stage1Config(
         batch_size=batch_size,
-        finetune_encoder=True,
+        finetune_encoder=(args.mode == "finetune"),
         use_rawboost=True,
         rawboost_mode="device",
         rawboost_prob=0.7,
         temperature=0.07,
         compute_dtype="bfloat16",
-        remat_encoder=True,       # fits bs=32 finetune in one v5e's HBM
-        remat_policy="dots",      # keep matmul outputs: +10% vs full remat
-        scan_unroll=24,           # fully unroll the layer scan: +12% more
-        dropout_impl="murmur",    # counter-hash dropout bits: +29% more
+        attention_impl=args.attention,
+        # remat='dots', scan_unroll=24, murmur dropout: Stage1Config defaults
     )
     trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -88,7 +104,7 @@ def main() -> None:
         raise last_err
     assert np.isfinite(warm_loss), f"warmup loss {warm_loss}"
 
-    n_steps = 20
+    n_steps = args.steps
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = trainer.train_step(state, dict(batch), alpha)
@@ -99,8 +115,10 @@ def main() -> None:
     n_chips = jax.device_count()
     clips_per_sec = n_steps * batch_size / dt
     value = clips_per_sec / n_chips
+    metric = f"stage1_supcon_{args.mode}_train_throughput"
+    suffix = "" if args.attention == "xla" else f"_attn_{args.attention}"
     print(json.dumps({
-        "metric": "stage1_supcon_finetune_train_throughput",
+        "metric": metric + suffix,
         "value": round(value, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(value / A40_BASELINE_CLIPS_PER_SEC, 3),

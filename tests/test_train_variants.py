@@ -169,3 +169,92 @@ def test_host_rawboost_pipeline(tmp_path):
     assert not np.allclose(b_aug.waveforms, b_plain.waveforms)
     # zero-padding preserved
     assert np.all(b_aug.waveforms[:, 8000:] == 0)
+
+
+# ------------------------------------------------- trainer edges (r2 VERDICT #6)
+def test_devless_best_is_alias_of_latest(feature_data, tmp_path):
+    """Without a dev pipeline there is no best-metric: 'best' must resolve
+    (reload contract) but track 'latest' without a second full state write
+    per epoch (r1 rewrote best every epoch)."""
+    import os
+
+    from wav2vec_contr_loss_tpu.train import checkpoint as ckpt
+
+    feats, labels = feature_data
+    cfg = Stage1Config(
+        epochs=2, batch_size=8, input_dim=24, hidden_dim=8,
+        use_rawboost=False, compute_dtype="float32", seed=0,
+    )
+    trainer = Stage1Trainer(cfg, from_features=True)
+    state = trainer.init_state()
+    d = str(tmp_path / "devless")
+    state, _ = trainer.fit_from_features(state, feats, labels, save_dir=d)
+
+    assert os.path.islink(os.path.join(d, "best"))  # alias, not a copy
+    best, best_sc = ckpt.restore_checkpoint(
+        d, "best", jax.device_get(trainer.init_state()))
+    latest, latest_sc = ckpt.restore_checkpoint(
+        d, "latest", jax.device_get(trainer.init_state()))
+    assert best_sc["metrics"]["epoch"] == latest_sc["metrics"]["epoch"] == 2
+    for a, b in zip(jax.tree_util.tree_leaves(best.params),
+                    jax.tree_util.tree_leaves(latest.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the full reload contract works through the alias
+    _, state2 = Stage1Trainer.from_checkpoint(d, "best")
+
+
+def test_nan_dev_epoch_never_captures_best(feature_data, tmp_path):
+    """A diverged (NaN dev loss) epoch must not become 'best'
+    (NaN < best is False — asserted here so the behavior is contractual)."""
+    from wav2vec_contr_loss_tpu.train import checkpoint as ckpt
+
+    feats, labels = feature_data
+    cfg = Stage1Config(
+        epochs=3, batch_size=8, input_dim=24, hidden_dim=8,
+        use_rawboost=False, compute_dtype="float32", seed=0,
+    )
+    trainer = Stage1Trainer(cfg, from_features=True)
+    state = trainer.init_state()
+
+    n_dev_batches = 24 // 4  # per_class=4 -> 6 balanced dev batches/epoch
+    calls = {"n": 0}
+    real_eval = trainer.eval_step
+
+    def eval_nan_after_first_epoch(st, batch):
+        calls["n"] += 1
+        if calls["n"] <= n_dev_batches:
+            return real_eval(st, batch)
+        return jax.numpy.asarray(float("nan"), jax.numpy.float32)
+
+    trainer.eval_step = eval_nan_after_first_epoch
+    d = str(tmp_path / "nandev")
+    state, hist = trainer.fit_from_features(
+        state, feats, labels, feats, labels, save_dir=d
+    )
+    assert np.isfinite(hist["dev_loss"][0])
+    assert np.isnan(hist["dev_loss"][1]) and np.isnan(hist["dev_loss"][2])
+    sidecar = ckpt.load_sidecar(d, "best")
+    assert sidecar["metrics"]["epoch"] == 1  # epochs 2-3 (NaN) never won
+    assert ckpt.load_sidecar(d, "latest")["metrics"]["epoch"] == 3
+
+
+def test_multihost_batch_divisibility_asserted(monkeypatch):
+    """A global batch not divisible by process_count must raise loudly,
+    not silently drop clips (r1 weak #5)."""
+    from wav2vec_contr_loss_tpu.data.pipeline import Batch
+
+    cfg = Stage1Config(
+        epochs=1, batch_size=8, input_dim=24, hidden_dim=8,
+        use_rawboost=False, compute_dtype="float32", seed=0,
+    )
+    trainer = Stage1Trainer(cfg, from_features=True)
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    b = Batch(
+        waveforms=np.zeros((8, 100), np.float32),
+        labels=np.zeros(8, np.int32),
+        multi_labels=np.zeros(8, np.int32),
+        valid=np.ones(8, bool),
+    )
+    with pytest.raises(ValueError, match="not divisible by"):
+        next(iter(trainer._device_batches(iter([b]))))

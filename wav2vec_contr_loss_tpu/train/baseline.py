@@ -178,7 +178,13 @@ class BaselineTrainer:
         def put(b: Batch) -> Dict:
             arrays = {"waveforms": b.waveforms, "labels": b.labels}
             if n_proc > 1:
-                per = b.waveforms.shape[0] // n_proc
+                B = b.waveforms.shape[0]
+                if B % n_proc:
+                    raise ValueError(
+                        f"global batch {B} not divisible by "
+                        f"process_count={n_proc}; clips would be dropped"
+                    )
+                per = B // n_proc
                 sl = slice(rank * per, (rank + 1) * per)
                 arrays = {k: v[sl] for k, v in arrays.items()}
             out = global_batch_from_local(self.mesh, arrays)

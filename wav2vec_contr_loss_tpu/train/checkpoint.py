@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "load_config",
-           "load_sidecar", "checkpoint_exists"]
+           "load_sidecar", "checkpoint_exists", "alias_checkpoint"]
 
 
 _CKPTR = None
@@ -42,6 +42,14 @@ def _host_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _remove(path: str) -> None:
+    """Remove a checkpoint path whatever it is (dir, symlink, file)."""
+    if os.path.islink(path) or os.path.isfile(path):
+        os.remove(path)
+    elif os.path.isdir(path):
+        shutil.rmtree(path)
+
+
 def save_checkpoint(directory: str, name: str, state: Any,
                     config: Optional[Dict] = None,
                     metrics: Optional[Dict] = None,
@@ -57,12 +65,13 @@ def save_checkpoint(directory: str, name: str, state: Any,
     tmp = path + ".saving"
     old = path + ".replaced"
     for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+        _remove(stale)
     c = _checkpointer()
     c.save(tmp, _host_tree(state))
     c.wait_until_finished()  # StandardCheckpointer saves asynchronously
-    if os.path.exists(path):
+    if os.path.islink(path):  # was an alias (dev-less run): drop the link
+        os.remove(path)
+    elif os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
     sidecar = {"config": config or {}, "metrics": metrics or {},
@@ -73,6 +82,28 @@ def save_checkpoint(directory: str, name: str, state: Any,
     os.replace(sidecar_tmp, path + ".config.json")
     if os.path.exists(old):
         shutil.rmtree(old)
+    return path
+
+
+def alias_checkpoint(directory: str, name: str, target: str) -> str:
+    """Make <directory>/<name> an alias (symlink) of <directory>/<target>.
+
+    Used by dev-less training runs where no best-metric exists: 'best'
+    tracks 'latest' without writing the state twice per epoch. Falls back
+    to a real copy if the filesystem refuses symlinks."""
+    path = os.path.abspath(os.path.join(directory, name))
+    for suffix in ("", ".config.json"):
+        dst = path + suffix
+        src = target + suffix  # relative link inside the directory
+        _remove(dst)
+        try:
+            os.symlink(src, dst)
+        except OSError:
+            full_src = os.path.join(directory, src)
+            if os.path.isdir(full_src):
+                shutil.copytree(full_src, dst)
+            elif os.path.exists(full_src):
+                shutil.copyfile(full_src, dst)
     return path
 
 
