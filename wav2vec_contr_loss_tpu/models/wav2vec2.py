@@ -21,8 +21,11 @@ see tests/test_wav2vec2_parity.py):
     length, pushed through the conv stride chain, and becomes both a
     zeroing mask on the projected features and a -inf key bias.
   * SpecAugment time-masking (active only while finetuning, as in HF train
-    mode) uses a static-shape Bernoulli span-start formulation instead of
-    HF's dynamic `_compute_mask_indices` (same expected mask rate).
+    mode) reproduces HF `_compute_mask_indices` semantics in a static-shape
+    formulation: per clip, `max(int(p*len/L + u), min_masks)` spans (capped
+    to fit), starts sampled without replacement from the valid range —
+    distribution-tested against HF's own implementation in
+    tests/test_wav2vec2_parity.py; numbers in PARITY.md.
 
 Compute dtype is configurable (bf16 default for training, fp32 for parity
 tests); params are always fp32. LayerNorms and softmax run in fp32.
@@ -64,6 +67,7 @@ class Wav2Vec2Config:
     apply_spec_augment: bool = True
     mask_time_prob: float = 0.075
     mask_time_length: int = 10
+    mask_time_min_masks: int = 2         # HF floor: >= 2 spans per clip
     dtype: jnp.dtype = jnp.bfloat16      # compute dtype; params stay fp32
     remat: bool = False                  # rematerialize encoder layers
     # 'full' recomputes everything in the bwd pass; 'dots' keeps matmul
@@ -133,6 +137,53 @@ def _frame_lengths(sample_lengths: jnp.ndarray, config: Wav2Vec2Config) -> jnp.n
     for k, s in zip(config.conv_kernel, config.conv_stride):
         n = (n - k) // s + 1
     return n
+
+
+def _time_mask_spans(rng: jax.Array, lengths: jnp.ndarray, t_frames: int,
+                     cfg: "Wav2Vec2Config") -> jnp.ndarray:
+    """SpecAugment time-mask (B, T') bool, HF `_compute_mask_indices` count
+    semantics in static shapes (the reference finetunes through HF's train
+    path via encoder.py:21):
+
+      num_spans = max(int(p * len / L + u), min_masks),  u ~ U[0,1)
+      capped so num_spans * L <= len and starts fit in [0, len - L];
+      starts sampled uniformly WITHOUT replacement from [0, len - L]
+      (exact, via sequential insertion — max_spans is tiny and static).
+    """
+    L = cfg.mask_time_length
+    p = cfg.mask_time_prob
+    b = lengths.shape[0]
+    # static upper bound: floor(p*len/L + u) <= int(p*T/L) + 1
+    max_spans = max(cfg.mask_time_min_masks, int(p * t_frames / L) + 1)
+
+    k_eps, k_start = jax.random.split(rng)
+    flen = lengths.astype(jnp.float32)
+    eps = jax.random.uniform(k_eps, (b,))
+    num = jnp.floor(p * flen / L + eps).astype(jnp.int32)
+    num = jnp.maximum(num, cfg.mask_time_min_masks)
+    num = jnp.minimum(num, lengths // L)                       # spans fit
+    num = jnp.minimum(num, jnp.maximum(lengths - (L - 1), 0))  # starts fit
+
+    hi = jnp.maximum(lengths - L + 1, 1).astype(jnp.float32)   # (B,)
+    u = jax.random.uniform(k_start, (b, max_spans))
+    # without-replacement sampling by sequential insertion: draw the i-th
+    # value from a range shrunk by i, then shift it up past every earlier
+    # pick — uniform over distinct subsets, like HF's permutation pick.
+    # (Ranges clamp to 1 when hi < max_spans; those indices exceed `num`
+    # and are masked inactive below, since num <= hi.)
+    chosen = []
+    for i in range(max_spans):
+        x = jnp.floor(u[:, i] * jnp.maximum(hi - i, 1.0)).astype(jnp.int32)
+        if chosen:
+            prev = jnp.sort(jnp.stack(chosen, axis=1), axis=1)  # (B, i)
+            for j in range(i):
+                x = x + (x >= prev[:, j]).astype(jnp.int32)
+        chosen.append(x)
+    starts = jnp.stack(chosen, axis=1)                         # (B, S)
+    active = jnp.arange(max_spans)[None, :] < num[:, None]     # (B, S)
+    fr = jnp.arange(t_frames)[None, None, :]                   # (1, 1, T')
+    spans = (fr >= starts[:, :, None]) & (fr < (starts + L)[:, :, None])
+    return jnp.any(spans & active[:, :, None], axis=1)
 
 
 def _dropout(mod: nn.Module, cfg: "Wav2Vec2Config", x: jnp.ndarray,
@@ -386,17 +437,7 @@ class Wav2Vec2Encoder(nn.Module):
         ) if cfg.apply_spec_augment else None
         if masked_embed is not None and not deterministic and cfg.mask_time_prob > 0:
             rng = self.make_rng("dropout")
-            starts = (
-                jax.random.uniform(rng, (hidden.shape[0], t_frames))
-                < cfg.mask_time_prob / cfg.mask_time_length
-            )
-            # dilate span starts to spans of mask_time_length frames
-            span = jax.lax.reduce_window(
-                starts.astype(jnp.int32), 0, jax.lax.max,
-                (1, cfg.mask_time_length), (1, 1),
-                [(0, 0), (cfg.mask_time_length - 1, 0)],
-            ).astype(bool)
-            span = span & frame_mask
+            span = _time_mask_spans(rng, lengths, t_frames, cfg) & frame_mask
             hidden = jnp.where(span[:, :, None],
                                masked_embed.astype(hidden.dtype), hidden)
 
