@@ -40,6 +40,9 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["finetune", "frozen"], default="finetune")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--remat", choices=["default", "off", "full", "dots",
+                                        "dots_all"], default="default")
+    ap.add_argument("--fused_qkv", action="store_true")
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args(argv)
 
@@ -68,8 +71,13 @@ def main(argv=None) -> None:
         temperature=0.07,
         compute_dtype="bfloat16",
         attention_impl=args.attention,
+        fused_qkv=args.fused_qkv,
         # remat='dots', scan_unroll=24, murmur dropout: Stage1Config defaults
     )
+    if args.remat == "off":
+        cfg = cfg.replace(remat_encoder=False)
+    elif args.remat != "default":
+        cfg = cfg.replace(remat_encoder=True, remat_policy=args.remat)
     trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
     state = trainer.init_state(jax.random.PRNGKey(0))
 

@@ -44,3 +44,40 @@ def test_missing_scores_fail(tmp_path):
         verify_parity.main(["--exp_name", "supcon",
                             "--scores_dir", str(tmp_path)])
     assert e.value.code == 1
+
+
+@pytest.mark.parametrize("exp", [
+    "supcon", "supcon_temp_0.07", "supcon_geodesic_temp_0.07",
+    "supcon_uniformity_weight_0.05",
+])
+def test_directory_mode_on_reference_committed_scores(exp):
+    """The acceptance harness run against the reference's OWN committed
+    score files must pass at zero tolerance slack — a green run on real
+    artifacts (VERDICT r1 #8). Covers both the eval and ITW legs."""
+    import os
+
+    d = f"/root/reference/scores/{exp}/facebook/wav2vec2-xls-r-300m"
+    if not os.path.isdir(d):
+        pytest.skip("reference scores not mounted")
+    with pytest.raises(SystemExit) as e:
+        verify_parity.main([
+            "--exp_name", exp, "--scores_dir", d,
+            "--tolerance", "0.001", "--itw_tolerance", "0.001",
+        ])
+    assert e.value.code == 0
+
+
+def test_directory_mode_rejects_mismatched_experiment():
+    """Reference scores for one experiment against another experiment's
+    expected EERs must FAIL — the harness actually discriminates."""
+    import os
+
+    d = "/root/reference/scores/supcon_temp_0.6/facebook/wav2vec2-xls-r-300m"
+    if not os.path.isdir(d):
+        pytest.skip("reference scores not mounted")
+    with pytest.raises(SystemExit) as e:
+        verify_parity.main([
+            "--exp_name", "supcon", "--scores_dir", d,
+            "--tolerance", "0.2", "--itw_tolerance", "2.0",
+        ])
+    assert e.value.code == 1

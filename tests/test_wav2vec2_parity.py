@@ -263,3 +263,47 @@ def test_time_mask_matches_hf_compute_mask_indices():
     for row, ln in zip(m, [60, 249, 30, 9]):
         assert not row[ln:].any()
     assert m[3].sum() == 0  # length 9 < L=10: zero spans, like HF's cap
+
+
+def test_full_scale_xlsr300m_conversion_parity(rng):
+    """Validate the real-weights conversion leg at the FULL XLS-R-300m
+    architecture (VERDICT r1 #5): a locally-built HF Wav2Vec2Model with the
+    facebook/wav2vec2-xls-r-300m config (identical tensor shapes to the
+    real checkpoint — weight VALUES are random because the environment has
+    zero network egress; the download attempt and its error are recorded in
+    PARITY.md). Conversion + forward parity at this scale exercises every
+    shape/stacking/weight-norm path the real checkpoint would."""
+    hf_cfg = transformers.Wav2Vec2Config(  # xls-r-300m architecture
+        hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+        intermediate_size=4096,
+        conv_dim=(512,) * 7,
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        do_stable_layer_norm=True, feat_extract_norm="layer", conv_bias=True,
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16,
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0, vocab_size=32,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.Wav2Vec2Model(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg).with_(dtype=jnp.float32)
+    params = {"params": convert_hf_state_dict(hf_model.state_dict(), cfg)}
+    n_params = sum(
+        int(np.prod(v.shape)) for v in jax.tree_util.tree_leaves(params)
+    )
+    assert n_params > 300_000_000  # the real 315M-param architecture
+
+    wave = rng.normal(0, 0.2, (1, 8000)).astype(np.float32)  # 0.5 s
+    with torch.no_grad():
+        hf_out = hf_model(
+            torch.from_numpy(wave), output_hidden_states=True
+        )
+    want = torch.stack(hf_out.hidden_states).mean(0).numpy()  # (1, T', D)
+
+    enc = Wav2Vec2Encoder(cfg)
+    got = np.asarray(enc.apply(
+        params, jnp.asarray(wave), jnp.ones_like(jnp.asarray(wave), jnp.int32)
+    )["layer_mean"])
+    assert got.shape == want.shape
+    max_abs = np.abs(got - want).max()
+    assert max_abs < 5e-4, f"layer-mean max|delta|={max_abs}"

@@ -171,6 +171,7 @@ def config_from_hf(hf_config) -> Wav2Vec2Config:
         apply_spec_augment=hf_config.apply_spec_augment,
         mask_time_prob=hf_config.mask_time_prob,
         mask_time_length=hf_config.mask_time_length,
+        mask_time_min_masks=getattr(hf_config, "mask_time_min_masks", 2),
     )
 
 

@@ -70,9 +70,10 @@ class Wav2Vec2Config:
     mask_time_min_masks: int = 2         # HF floor: >= 2 spans per clip
     dtype: jnp.dtype = jnp.bfloat16      # compute dtype; params stay fp32
     remat: bool = False                  # rematerialize encoder layers
-    # 'full' recomputes everything in the bwd pass; 'dots' keeps matmul
-    # outputs resident (jax.checkpoint dots_with_no_batch_dims_saveable) —
-    # less memory saving, much cheaper recompute
+    # 'full' recomputes everything in the bwd pass; 'dots' keeps non-batch
+    # matmul outputs resident (dots_with_no_batch_dims_saveable);
+    # 'dots_all' additionally keeps the (B,H,T,T) attention matmul outputs
+    # (dots_saveable) — cheapest recompute, most memory
     remat_policy: str = "full"
     # lax.scan unroll factor for the layer stack: >1 trades compile time for
     # removing per-iteration dynamic-slice/update overhead on the stacked
@@ -475,10 +476,16 @@ class Wav2Vec2Encoder(nn.Module):
                 return (h_out, acc), ys
 
         if cfg.remat:
-            policy = (
-                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                if cfg.remat_policy == "dots" else None
-            )
+            # 'full': recompute everything in bwd (max memory saving);
+            # 'dots': keep non-batch matmul outputs (qkv/out/ff) resident,
+            #   recompute attention scores + softmax + elementwise;
+            # 'dots_all': keep ALL matmul outputs incl. the (B,H,T,T)
+            #   attention products — cheapest recompute, ~60 MB/layer more
+            policy = {
+                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "dots_all": jax.checkpoint_policies.dots_saveable,
+                "full": None,
+            }[cfg.remat_policy]
             body_cls = nn.remat(_Body, prevent_cse=False, policy=policy)
         else:
             body_cls = _Body
