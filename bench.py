@@ -41,8 +41,13 @@ def main(argv=None) -> None:
     ap.add_argument("--mode", choices=["finetune", "frozen"], default="finetune")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--remat", choices=["default", "off", "full", "dots",
-                                        "dots_all"], default="default")
+                                        "dots_all", "dots_ffact"],
+                    default="default")
     ap.add_argument("--fused_qkv", action="store_true")
+    ap.add_argument("--softmax_dtype", choices=["float32", "bfloat16"],
+                    default="float32")
+    ap.add_argument("--layer_mean_dtype", choices=["float32", "bfloat16"],
+                    default="float32")
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args(argv)
 
@@ -72,6 +77,8 @@ def main(argv=None) -> None:
         compute_dtype="bfloat16",
         attention_impl=args.attention,
         fused_qkv=args.fused_qkv,
+        softmax_dtype=args.softmax_dtype,
+        layer_mean_dtype=args.layer_mean_dtype,
         # remat='dots', scan_unroll=24, murmur dropout: Stage1Config defaults
     )
     if args.remat == "off":

@@ -307,3 +307,45 @@ def test_full_scale_xlsr300m_conversion_parity(rng):
     assert got.shape == want.shape
     max_abs = np.abs(got - want).max()
     assert max_abs < 5e-4, f"layer-mean max|delta|={max_abs}"
+
+
+def test_bf16_fast_math_knobs_stay_close(rng):
+    """softmax_dtype/layer_mean_dtype='bfloat16' are throughput knobs
+    (halve the (B,H,T,T) and carry HBM traffic); they must stay within
+    bf16 rounding of the fp32-domain outputs at the same compute dtype."""
+    _, cfg, params = make_pair("xlsr")
+    wave = make_input(rng)
+    base = Wav2Vec2Encoder(cfg.with_(dtype=jnp.bfloat16)).apply(params, wave)
+    fast = Wav2Vec2Encoder(cfg.with_(
+        dtype=jnp.bfloat16, softmax_dtype="bfloat16",
+        layer_mean_dtype="bfloat16",
+    )).apply(params, wave)
+    a = np.asarray(base["layer_mean"], np.float64)
+    b = np.asarray(fast["layer_mean"], np.float64)
+    assert b.dtype == np.float64 and fast["layer_mean"].dtype == jnp.float32
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-12)
+    assert rel < 2e-2, f"bf16 fast-math drift {rel}"
+
+
+def test_remat_ffact_policy_matches_dots(rng):
+    """remat_policy='dots_ffact' (keep the named FF GELU outputs resident)
+    is a scheduling change only: grads must match plain 'dots'."""
+    _, cfg, params = make_pair("xlsr")
+    wave = jnp.asarray(make_input(rng))
+
+    def grads(policy):
+        enc = Wav2Vec2Encoder(cfg.with_(remat=True, remat_policy=policy))
+
+        def loss(p):
+            out = enc.apply({"params": p}, wave)
+            return jnp.sum(out["layer_mean"] ** 2)
+
+        return jax.grad(loss)(params["params"])
+
+    g_dots = grads("dots")
+    g_ffact = grads("dots_ffact")
+    flat_a = jax.tree_util.tree_leaves(g_dots)
+    flat_b = jax.tree_util.tree_leaves(g_ffact)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -1,0 +1,174 @@
+"""Capture + summarize a device profile of the stage-1 train step.
+
+Runs the exact bench.py recipe (bs=32 XLS-R finetune, device RawBoost,
+SupCon), times it, then records a jax.profiler trace of a few steps and
+prints the top HLO ops by device self-time, aggregated from the xplane
+proto. Guides kernel-level optimization (VERDICT r1 weak #6 / next #4).
+
+Usage:
+    python tools/profile_step.py [--steps 12] [--profile_steps 4]
+                                 [--mode finetune] [--out /tmp/w2v_profile]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def summarize_xspace(path: str, top: int = 45) -> str:
+    """Aggregate XEvent self-durations by op name on device planes."""
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+
+    raw = open(path, "rb").read()
+    try:
+        raw = gzip.decompress(raw)
+    except OSError:
+        pass
+    xspace = xplane_pb2.XSpace()
+    xspace.ParseFromString(raw)
+
+    def first_word(name: str) -> str:
+        """Collapse '%fusion.123 = bf16[...] fusion(...), kind=kOutputFusion'
+        to a stable op-kind + shape key."""
+        head = name.split(" = ", 1)
+        if len(head) == 2:
+            lhs, rhs = head
+            kind = rhs.split("(", 1)[0].split(" ")[-1]
+            shape = rhs.split("(", 1)[0].replace(kind, "").strip()
+            return f"{kind} {shape}"[:120]
+        return name[:120]
+
+    out = []
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        out.append(f"=== plane: {plane.name}")
+        for line in plane.lines:
+            if not line.events:
+                continue
+            # busy time = union of [start, start+dur) intervals
+            iv = sorted((ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                        for ev in line.events)
+            busy, cur_s, cur_e = 0, iv[0][0], iv[0][1]
+            for s, e in iv[1:]:
+                if s > cur_e:
+                    busy += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            busy += cur_e - cur_s
+            span = iv[-1][1] - iv[0][0]
+            out.append(f"-- line '{line.name}' ({len(line.events)} events, "
+                       f"busy {busy / 1e9:.2f} ms / span {span / 1e9:.2f} ms)")
+            total_by = collections.Counter()
+            count_by = collections.Counter()
+            tot = 0
+            for ev in line.events:
+                key = first_word(ev_meta.get(ev.metadata_id, str(ev.metadata_id)))
+                total_by[key] += ev.duration_ps
+                count_by[key] += 1
+                tot += ev.duration_ps
+            for name, ps in total_by.most_common(top):
+                out.append(
+                    f"  {ps / 1e9:10.3f} ms  x{count_by[name]:<5d} "
+                    f"{ps / max(tot, 1) * 100:5.1f}%  {name}"
+                )
+    return "\n".join(out) if out else "(no device planes found in xspace)"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--profile_steps", type=int, default=4)
+    ap.add_argument("--mode", choices=["finetune", "frozen"], default="finetune")
+    ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--out", default="/tmp/w2v_profile")
+    ap.add_argument("--summarize_only", default=None,
+                    help="skip running; summarize this .xplane.pb file")
+    args = ap.parse_args()
+
+    if args.summarize_only:
+        print(summarize_xspace(args.summarize_only))
+        return
+
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from wav2vec_contr_loss_tpu.config import Stage1Config
+    from wav2vec_contr_loss_tpu.models.wav2vec2 import XLSR_300M
+    from wav2vec_contr_loss_tpu.train import Stage1Trainer
+
+    batch_size = 32
+    cfg = Stage1Config(
+        batch_size=batch_size,
+        finetune_encoder=(args.mode == "finetune"),
+        use_rawboost=True, rawboost_mode="device", rawboost_prob=0.7,
+        temperature=0.07, compute_dtype="bfloat16",
+        attention_impl=args.attention,
+    )
+    trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    t = cfg.max_duration_seconds * cfg.target_sample_rate
+    wave = rng.normal(0, 0.2, (batch_size, t)).astype(np.float32)
+    wave[:, 60000:] = 0.0
+    labels = np.array([1, 0] * (batch_size // 2), np.int32)
+    batch = {"waveforms": jnp.asarray(wave), "labels": jnp.asarray(labels),
+             "multi_labels": jnp.asarray(labels)}
+    alpha = jnp.zeros((), jnp.float32)
+
+    t0 = time.perf_counter()
+    state, metrics = trainer.train_step(state, dict(batch), alpha)
+    print(f"[profile] warmup loss={float(metrics['loss']):.4f} "
+          f"(compile+run {time.perf_counter() - t0:.1f}s)", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = trainer.train_step(state, dict(batch), alpha)
+    _ = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    print(f"[profile] {args.steps} steps: {dt:.2f}s -> "
+          f"{args.steps * batch_size / dt:.1f} clips/s", flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    jax.profiler.start_trace(args.out)
+    for _ in range(args.profile_steps):
+        state, metrics = trainer.train_step(state, dict(batch), alpha)
+    _ = float(metrics["loss"])
+    jax.profiler.stop_trace()
+
+    paths = sorted(glob.glob(os.path.join(
+        args.out, "plugins/profile/*/*.xplane.pb")))
+    if not paths:
+        print(json.dumps({"error": "no xplane produced", "out": args.out}))
+        return
+    print(f"[profile] xplane: {paths[-1]}", flush=True)
+    print(summarize_xspace(paths[-1]))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,11 @@ class Stage1Config:
     # dropout parity vs the torch reference is statistical either way.
     dropout_impl: str = "murmur"
     supcon_impl: str = "xla"            # 'xla' | 'pallas' (fused kernel)
+    # attention score/softmax domain: 'float32' (the reference's fp32 math)
+    # | 'bfloat16' (halves (B,H,T,T) HBM traffic fwd + remat-bwd)
+    softmax_dtype: str = "float32"
+    # K=25 layer-mean accumulator domain: 'float32' (exact) | 'bfloat16'
+    layer_mean_dtype: str = "float32"
 
     def replace(self, **kw) -> "Stage1Config":
         return dataclasses.replace(self, **kw)

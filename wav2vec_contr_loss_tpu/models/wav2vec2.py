@@ -40,6 +40,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 __all__ = ["Wav2Vec2Config", "Wav2Vec2Encoder", "feature_frame_length",
            "XLSR_300M", "LARGE_960H", "config_to_dict", "config_from_dict"]
@@ -90,6 +91,15 @@ class Wav2Vec2Config:
     # hash, ~10 ops, XLA-fused — measured ~45 ms/step cheaper at the
     # finetune recipe; see ops/fast_dropout.py)
     dropout_impl: str = "threefry"
+    # attention score/softmax domain: 'float32' (parity with the reference's
+    # fp32 stage-1 math) | 'bfloat16' (halves the (B,H,T,T) HBM traffic in
+    # fwd AND in the remat recompute; T<=250 keys keeps bf16 logsumexp error
+    # ~1e-3 relative — see tests/test_wav2vec2_parity.py)
+    softmax_dtype: str = "float32"
+    # running layer-sum accumulator domain: 'float32' (exact K=25 mean) |
+    # 'bfloat16' (halves the (B,T,D) carry traffic through all 24 scan
+    # iterations and its remat residents)
+    layer_mean_dtype: str = "float32"
 
     def with_(self, **kw) -> "Wav2Vec2Config":
         return dataclasses.replace(self, **kw)
@@ -331,10 +341,14 @@ class SelfAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3)
             return dense("out_proj")(out.reshape(b, t, d).astype(cfg.dtype))
 
+        sm_dtype = (cfg.dtype if cfg.softmax_dtype == "bfloat16"
+                    else jnp.float32)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=sm_dtype)
         if key_bias is not None:
-            logits = logits + key_bias  # (B, 1, 1, T) additive -inf mask
+            # (B, 1, 1, T) additive -inf mask (-1e30 is representable in
+            # bf16 — same exponent range as fp32)
+            logits = logits + key_bias.astype(sm_dtype)
         probs = jax.nn.softmax(logits, axis=-1)
         # dropout in the compute dtype (the torch-AMP behavior): halves the
         # (B,H,T,T) traffic vs dropping out the fp32 probabilities
@@ -352,7 +366,9 @@ class FeedForward(nn.Module):
         cfg = self.config
         x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
                      param_dtype=jnp.float32, name="intermediate_dense")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        # named so remat_policy='dots_ffact' can keep the (B,T,4I) GELU
+        # output resident instead of re-running erf in the bwd recompute
+        x = checkpoint_name(jax.nn.gelu(x, approximate=False), "ffn_act")
         x = _dropout(self, cfg, x, cfg.activation_dropout, deterministic)
         x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=jnp.float32,
                      name="output_dense")(x)
@@ -471,7 +487,7 @@ class Wav2Vec2Encoder(nn.Module):
                 h_out = EncoderLayer(self.cfg_inner, name="layer")(
                     h, key_bias, deterministic
                 )
-                acc = acc + h_out.astype(jnp.float32)
+                acc = acc + h_out.astype(acc.dtype)
                 ys = h_out if collect_all else 0
                 return (h_out, acc), ys
 
@@ -484,6 +500,12 @@ class Wav2Vec2Encoder(nn.Module):
             policy = {
                 "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 "dots_all": jax.checkpoint_policies.dots_saveable,
+                # dots + the named FF GELU outputs: trades ~65 MB/layer of
+                # residents for skipping the erf recompute in bwd
+                "dots_ffact": jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names("ffn_act"),
+                ),
                 "full": None,
             }[cfg.remat_policy]
             body_cls = nn.remat(_Body, prevent_cse=False, policy=policy)
@@ -496,7 +518,9 @@ class Wav2Vec2Encoder(nn.Module):
             length=cfg.num_layers,
             unroll=max(1, min(cfg.scan_unroll, cfg.num_layers)),
         )
-        acc0 = hidden.astype(jnp.float32)
+        acc_dtype = (cfg.dtype if cfg.layer_mean_dtype == "bfloat16"
+                     else jnp.float32)
+        acc0 = hidden.astype(acc_dtype)
         (h_last, acc), ys = ScanBody(cfg, name="layers")(
             (hidden, acc0), jnp.arange(cfg.num_layers)
         )
@@ -508,13 +532,15 @@ class Wav2Vec2Encoder(nn.Module):
             )(h_last)
             # hidden-state list = [h0, out_0..out_22, LN(out_23)]:
             # swap the raw last layer output for its post-LN version
-            acc = acc - h_last.astype(jnp.float32) + final
+            acc = acc - h_last.astype(acc.dtype) + final.astype(acc.dtype)
             last_hidden = final.astype(cfg.dtype)
         else:
             last_hidden = h_last
 
         out = {
-            "layer_mean": acc / cfg.num_hidden_states,   # fp32 (B, T', D)
+            # always fp32 to downstream consumers; accumulation precision
+            # is cfg.layer_mean_dtype
+            "layer_mean": (acc / cfg.num_hidden_states).astype(jnp.float32),
             "last_hidden": last_hidden,
             "frame_mask": frame_mask,
         }

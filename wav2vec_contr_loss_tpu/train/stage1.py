@@ -106,6 +106,8 @@ class Stage1Trainer:
             fused_qkv=getattr(cfg, "fused_qkv", False),
             attention_impl=getattr(cfg, "attention_impl", "xla"),
             dropout_impl=getattr(cfg, "dropout_impl", "threefry"),
+            softmax_dtype=getattr(cfg, "softmax_dtype", "float32"),
+            layer_mean_dtype=getattr(cfg, "layer_mean_dtype", "float32"),
         )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
