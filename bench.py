@@ -41,13 +41,14 @@ def main(argv=None) -> None:
     ap.add_argument("--mode", choices=["finetune", "frozen"], default="finetune")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--remat", choices=["default", "off", "full", "dots",
-                                        "dots_all", "dots_ffact"],
+                                        "dots_all", "dots_ffact", "dots_all_ffact"],
                     default="default")
     ap.add_argument("--fused_qkv", action="store_true")
+    # None -> inherit the Stage1Config default (what every CLI run gets)
     ap.add_argument("--softmax_dtype", choices=["float32", "bfloat16"],
-                    default="float32")
+                    default=None)
     ap.add_argument("--layer_mean_dtype", choices=["float32", "bfloat16"],
-                    default="float32")
+                    default=None)
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args(argv)
 
@@ -77,9 +78,11 @@ def main(argv=None) -> None:
         compute_dtype="bfloat16",
         attention_impl=args.attention,
         fused_qkv=args.fused_qkv,
-        softmax_dtype=args.softmax_dtype,
-        layer_mean_dtype=args.layer_mean_dtype,
-        # remat='dots', scan_unroll=24, murmur dropout: Stage1Config defaults
+        # remat='dots', scan_unroll=24, murmur dropout, bf16 softmax domain:
+        # Stage1Config defaults
+        **{k: v for k, v in
+           (("softmax_dtype", args.softmax_dtype),
+            ("layer_mean_dtype", args.layer_mean_dtype)) if v is not None},
     )
     if args.remat == "off":
         cfg = cfg.replace(remat_encoder=False)

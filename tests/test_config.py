@@ -27,6 +27,9 @@ def test_preset_count_and_sweep_invariants():
         # (VERDICT r1 weak #2); without them run_pipeline OOMs on-chip
         assert cfg.remat_encoder and cfg.remat_policy == "dots", name
         assert cfg.scan_unroll == 24 and cfg.dropout_impl == "murmur", name
+        # the bf16 attention-softmax domain (r2 sweep: 145.5 vs 132.0
+        # clips/s/chip) rides the presets too
+        assert cfg.softmax_dtype == "bfloat16", name
 
 
 @pytest.mark.parametrize("name,temp,sim,uni", [

@@ -327,14 +327,15 @@ def test_bf16_fast_math_knobs_stay_close(rng):
     assert rel < 2e-2, f"bf16 fast-math drift {rel}"
 
 
-def test_remat_ffact_policy_matches_dots(rng):
-    """remat_policy='dots_ffact' (keep the named FF GELU outputs resident)
-    is a scheduling change only: grads must match plain 'dots'."""
+@pytest.mark.parametrize("policy", ["dots_ffact", "dots_all_ffact"])
+def test_remat_ffact_policies_match_dots(rng, policy):
+    """The GELU-saving remat policies are scheduling changes only: grads
+    must match plain 'dots'."""
     _, cfg, params = make_pair("xlsr")
     wave = jnp.asarray(make_input(rng))
 
-    def grads(policy):
-        enc = Wav2Vec2Encoder(cfg.with_(remat=True, remat_policy=policy))
+    def grads(p_name):
+        enc = Wav2Vec2Encoder(cfg.with_(remat=True, remat_policy=p_name))
 
         def loss(p):
             out = enc.apply({"params": p}, wave)
@@ -343,9 +344,9 @@ def test_remat_ffact_policy_matches_dots(rng):
         return jax.grad(loss)(params["params"])
 
     g_dots = grads("dots")
-    g_ffact = grads("dots_ffact")
+    g_new = grads(policy)
     flat_a = jax.tree_util.tree_leaves(g_dots)
-    flat_b = jax.tree_util.tree_leaves(g_ffact)
+    flat_b = jax.tree_util.tree_leaves(g_new)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)

@@ -97,6 +97,9 @@ def main() -> None:
     ap.add_argument("--profile_steps", type=int, default=4)
     ap.add_argument("--mode", choices=["finetune", "frozen"], default="finetune")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--softmax_dtype", choices=["float32", "bfloat16"],
+                    default="float32")
+    ap.add_argument("--remat", default="default")
     ap.add_argument("--out", default="/tmp/w2v_profile")
     ap.add_argument("--summarize_only", default=None,
                     help="skip running; summarize this .xplane.pb file")
@@ -128,7 +131,10 @@ def main() -> None:
         use_rawboost=True, rawboost_mode="device", rawboost_prob=0.7,
         temperature=0.07, compute_dtype="bfloat16",
         attention_impl=args.attention,
+        softmax_dtype=args.softmax_dtype,
     )
+    if args.remat != "default":
+        cfg = cfg.replace(remat_encoder=True, remat_policy=args.remat)
     trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
     state = trainer.init_state(jax.random.PRNGKey(0))
 

@@ -97,10 +97,14 @@ class Stage1Config:
     # dropout parity vs the torch reference is statistical either way.
     dropout_impl: str = "murmur"
     supcon_impl: str = "xla"            # 'xla' | 'pallas' (fused kernel)
-    # attention score/softmax domain: 'float32' (the reference's fp32 math)
-    # | 'bfloat16' (halves (B,H,T,T) HBM traffic fwd + remat-bwd)
-    softmax_dtype: str = "float32"
+    # attention score/softmax domain. 'bfloat16' halves the (B,H,T,T) HBM
+    # traffic in fwd and in the remat recompute — measured 145.5 vs 132.0
+    # clips/s/chip at the bs=32 finetune recipe (r2 sweep), with ~1e-3
+    # relative drift on attention probs (PARITY.md §deviations). 'float32'
+    # restores the reference's exact softmax domain in one flag.
+    softmax_dtype: str = "bfloat16"
     # K=25 layer-mean accumulator domain: 'float32' (exact) | 'bfloat16'
+    # (measured throughput-neutral at the recipe — kept fp32)
     layer_mean_dtype: str = "float32"
 
     def replace(self, **kw) -> "Stage1Config":

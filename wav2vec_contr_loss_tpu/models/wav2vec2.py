@@ -506,6 +506,12 @@ class Wav2Vec2Encoder(nn.Module):
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                     jax.checkpoint_policies.save_only_these_names("ffn_act"),
                 ),
+                # everything matmul-shaped + the GELU outputs resident:
+                # bwd recompute shrinks to LayerNorms/softmax/elementwise
+                "dots_all_ffact": jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_saveable,
+                    jax.checkpoint_policies.save_only_these_names("ffn_act"),
+                ),
                 "full": None,
             }[cfg.remat_policy]
             body_cls = nn.remat(_Body, prevent_cse=False, policy=policy)

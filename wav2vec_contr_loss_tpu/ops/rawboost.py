@@ -24,8 +24,12 @@ matches the host implementation bit-for-bit given the same uniforms (see
 tests/test_rawboost.py).
 
 All filtering runs in fp32 at HIGHEST precision: bf16's 8-bit mantissa
-would raise the notch filter's noise floor to ~-48 dB, inside the SSI SNR
-range, i.e. it would audibly change the augmentation distribution.
+would raise the notch filter's noise floor to ~-48 dB, near the SSI SNR
+range, i.e. it would change the augmentation distribution. Measured on a
+v5e chip (r2): inside the train step XLA lowers each HIGHEST (32, 80000)
+x 511-tap pass to a ~2.3 ms VPU fusion (~14 ms/step for all 6 passes);
+a bf16-input MXU conv would save only ~half of that while adding 2.2e-3
+(-53 dB) relative rounding error per pass — rejected.
 """
 
 from __future__ import annotations
