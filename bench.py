@@ -49,6 +49,8 @@ def main(argv=None) -> None:
                     default=None)
     ap.add_argument("--layer_mean_dtype", choices=["float32", "bfloat16"],
                     default=None)
+    ap.add_argument("--adam_mu_dtype", choices=["float32", "bfloat16"],
+                    default=None)
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args(argv)
 
@@ -82,7 +84,8 @@ def main(argv=None) -> None:
         # Stage1Config defaults
         **{k: v for k, v in
            (("softmax_dtype", args.softmax_dtype),
-            ("layer_mean_dtype", args.layer_mean_dtype)) if v is not None},
+            ("layer_mean_dtype", args.layer_mean_dtype),
+            ("adam_mu_dtype", args.adam_mu_dtype)) if v is not None},
     )
     if args.remat == "off":
         cfg = cfg.replace(remat_encoder=False)

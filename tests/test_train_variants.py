@@ -258,3 +258,33 @@ def test_multihost_batch_divisibility_asserted(monkeypatch):
     )
     with pytest.raises(ValueError, match="not divisible by"):
         next(iter(trainer._device_batches(iter([b]))))
+
+
+def test_bf16_mu_checkpoint_roundtrip(feature_data, tmp_path):
+    """adam_mu_dtype='bfloat16' (optimizer-traffic knob): the mixed-dtype
+    optimizer state must survive the Orbax save/restore contract with
+    dtypes and values intact."""
+    import jax
+    import jax.numpy as jnp
+
+    feats, labels = feature_data
+    cfg = Stage1Config(
+        epochs=1, batch_size=8, input_dim=24, hidden_dim=8,
+        use_rawboost=False, compute_dtype="float32", seed=0,
+        adam_mu_dtype="bfloat16",
+    )
+    tr = Stage1Trainer(cfg, from_features=True)
+    state = tr.init_state()
+    state, _ = tr.fit_from_features(state, feats, labels,
+                                    save_dir=str(tmp_path / "ck"))
+    dts = {str(x.dtype) for x in jax.tree_util.tree_leaves(state.opt_state)
+           if hasattr(x, "dtype")}
+    assert "bfloat16" in dts, dts
+
+    tr2, state2 = Stage1Trainer.from_checkpoint(str(tmp_path / "ck"), "latest")
+    assert tr2.cfg.adam_mu_dtype == "bfloat16"
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(state2.opt_state)):
+        if hasattr(a, "dtype"):
+            assert a.dtype == b.dtype
+            assert jnp.array_equal(a, b), "opt state drifted through ckpt"

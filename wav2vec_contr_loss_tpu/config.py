@@ -106,6 +106,12 @@ class Stage1Config:
     # K=25 layer-mean accumulator domain: 'float32' (exact) | 'bfloat16'
     # (measured throughput-neutral at the recipe — kept fp32)
     layer_mean_dtype: str = "float32"
+    # AdamW first-moment storage. 'bfloat16' halves mu traffic/residency
+    # (~1.3 GB less HBM per step for the 315M-param encoder) — measured
+    # 148.1 vs 145.8 clips/s/chip at the bs=32 finetune recipe (r2 sweep).
+    # The second moment stays fp32 (its sqrt sets the step scale);
+    # 'float32' restores the reference's exact AdamW numerics in one flag.
+    adam_mu_dtype: str = "bfloat16"
 
     def replace(self, **kw) -> "Stage1Config":
         return dataclasses.replace(self, **kw)

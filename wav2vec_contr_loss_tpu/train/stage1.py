@@ -68,12 +68,20 @@ def _param_groups(params: Dict) -> Dict:
 
 def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransformation:
     """Reference param groups: head clipped@5.0 + AdamW(head_lr); encoder
-    AdamW(enc_lr); shared weight decay (train_stage1.py:93-96)."""
+    AdamW(enc_lr); shared weight decay (train_stage1.py:93-96).
+
+    `adam_mu_dtype='bfloat16'` stores the first moment in bf16 — ~1.3 GB
+    less HBM traffic + residency per step for the 315M-param encoder
+    (second moment stays fp32: its sqrt sets the step scale)."""
+    mu_dtype = (jnp.bfloat16 if getattr(cfg, "adam_mu_dtype", "float32")
+                == "bfloat16" else None)
     head_tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cfg.head_lr, weight_decay=cfg.weight_decay),
+        optax.adamw(cfg.head_lr, weight_decay=cfg.weight_decay,
+                    mu_dtype=mu_dtype),
     )
-    enc_tx = optax.adamw(cfg.enc_lr, weight_decay=cfg.weight_decay)
+    enc_tx = optax.adamw(cfg.enc_lr, weight_decay=cfg.weight_decay,
+                         mu_dtype=mu_dtype)
     return optax.multi_transform(
         {"head": head_tx, "encoder": enc_tx}, _param_groups(params)
     )
