@@ -51,6 +51,13 @@ def main(argv=None) -> None:
                     default=None)
     ap.add_argument("--adam_mu_dtype", choices=["float32", "bfloat16"],
                     default=None)
+    ap.add_argument("--attention_layout", choices=["bhqk", "bqhk"],
+                    default=None)
+    ap.add_argument("--freeze_fx", action="store_true",
+                    help="freeze the conv feature extractor (HF practice; "
+                         "the reference trains it — non-default)")
+    ap.add_argument("--fir", choices=["direct", "fft"], default=None,
+                    help="device RawBoost FIR algorithm")
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args(argv)
 
@@ -85,8 +92,12 @@ def main(argv=None) -> None:
         **{k: v for k, v in
            (("softmax_dtype", args.softmax_dtype),
             ("layer_mean_dtype", args.layer_mean_dtype),
-            ("adam_mu_dtype", args.adam_mu_dtype)) if v is not None},
+            ("adam_mu_dtype", args.adam_mu_dtype),
+            ("attention_layout", args.attention_layout),
+            ("rawboost_fir_impl", args.fir)) if v is not None},
     )
+    if args.freeze_fx:
+        cfg = cfg.replace(freeze_feature_extractor=True)
     if args.remat == "off":
         cfg = cfg.replace(remat_encoder=False)
     elif args.remat != "default":

@@ -228,3 +228,37 @@ def test_device_batch_invariants(clip):
     # prob=0 -> identity (masked)
     out3 = np.asarray(rbd.rawboost_batch_device(batch, key, 0.0, PARAMS))
     np.testing.assert_allclose(out3, batch * (batch != 0), atol=0)
+
+
+def test_fft_fir_matches_direct(clip):
+    """fir_impl='fft' computes the same linear convolution as the direct
+    path: (a) the centered filter itself to fp32-FFT rounding, (b) the full
+    stochastic device pipeline under identical keys."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from wav2vec_contr_loss_tpu.ops import rawboost as rbd
+
+    np.random.seed(31)
+    b = rb.gen_notch_coeffs(LegacyShim(), PARAMS, 0.0, 0.0)
+    buf = np.zeros(rbd.CHAIN, np.float32)
+    buf[: b.size] = b
+    x = jnp.asarray(clip, jnp.float32)
+    direct = np.asarray(rbd._filter_centered(
+        x, jnp.asarray(buf), jnp.asarray(b.size, np.int32), "direct"))
+    fft = np.asarray(rbd._filter_centered(
+        x, jnp.asarray(buf), jnp.asarray(b.size, np.int32), "fft"))
+    scale = np.abs(direct).max() + 1e-12
+    assert np.abs(fft - direct).max() / scale < 1e-4, \
+        np.abs(fft - direct).max() / scale
+
+    batch = jnp.asarray(
+        np.stack([clip, np.roll(clip, 777)]).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    p_fft = dataclasses.replace(PARAMS, fir_impl="fft")
+    out_d = np.asarray(rbd.rawboost_batch_device(batch, key, 1.0, PARAMS))
+    out_f = np.asarray(rbd.rawboost_batch_device(batch, key, 1.0, p_fft))
+    scale = np.abs(out_d).max() + 1e-12
+    assert np.abs(out_f - out_d).max() / scale < 5e-4, \
+        np.abs(out_f - out_d).max() / scale

@@ -288,3 +288,70 @@ def test_bf16_mu_checkpoint_roundtrip(feature_data, tmp_path):
         if hasattr(a, "dtype"):
             assert a.dtype == b.dtype
             assert jnp.array_equal(a, b), "opt state drifted through ckpt"
+
+
+def test_freeze_feature_extractor():
+    """freeze_feature_extractor=True: the conv stack's params stay exactly
+    fixed (stop_gradient + optax.set_to_zero — no AdamW weight decay
+    drift), while every other parameter takes the identical update it
+    would get unfrozen (the stop_gradient changes no forward value)."""
+    import jax.numpy as jnp
+    from wav2vec_contr_loss_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    tiny = Wav2Vec2Config(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        dtype=jnp.float32, apply_spec_augment=False,
+    )
+    base = Stage1Config(
+        batch_size=8, max_duration_seconds=1, target_sample_rate=2000,
+        input_dim=32, hidden_dim=16, use_rawboost=False,
+        finetune_encoder=True, compute_dtype="float32", seed=0,
+        dropout=0.0,
+    )
+    rng = np.random.default_rng(0)
+    wave = rng.normal(0, 0.2, (8, 2000)).astype(np.float32)
+    labels = np.array([1, 0] * 4, np.int32)
+    batch = {"waveforms": wave, "labels": labels, "multi_labels": labels}
+
+    def one_step(freeze):
+        cfg = base.replace(freeze_feature_extractor=freeze)
+        tr = Stage1Trainer(cfg, enc_config=tiny)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        before = jax.device_get(state.params)
+        state, _ = tr.train_step(
+            state, {k: jax.numpy.asarray(v) for k, v in batch.items()},
+            jax.numpy.ones((), jax.numpy.float32))
+        return before, jax.device_get(state.params)
+
+    b_frozen, a_frozen = one_step(True)
+    _, a_open = one_step(False)
+
+    fx_b = b_frozen["encoder"]["feature_extractor"]
+    fx_a = a_frozen["encoder"]["feature_extractor"]
+    for x, y in zip(jax.tree_util.tree_leaves(fx_b),
+                    jax.tree_util.tree_leaves(fx_a)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # conv params moved in the unfrozen run (the freeze is load-bearing)
+    fx_open = a_open["encoder"]["feature_extractor"]
+    assert any(
+        not np.allclose(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(fx_b),
+                        jax.tree_util.tree_leaves(fx_open)))
+
+    # everything outside the extractor takes the same update, up to float
+    # reassociation: DCE-ing the conv backward changes XLA fusion order, and
+    # near-zero grads make the Adam direction g/(|g|+eps) sensitive at the
+    # 1e-7 level — so 'identical' here means well under the 1e-5 enc_lr
+    # update scale, not bit-equal
+    def drop_fx(p):
+        p = {k: dict(v) if k == "encoder" else v for k, v in p.items()}
+        p["encoder"].pop("feature_extractor")
+        return p
+
+    for x, y in zip(jax.tree_util.tree_leaves(drop_fx(a_frozen)),
+                    jax.tree_util.tree_leaves(drop_fx(a_open))):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)

@@ -350,3 +350,32 @@ def test_remat_ffact_policies_match_dots(rng, policy):
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_attention_layout_bqhk_matches_bhqk(rng):
+    """attention_layout='bqhk' is a pure layout change (same contractions,
+    same softmax axis): fwd outputs and grads must match the 'bhqk'
+    formulation to numerical noise."""
+    _, cfg, params = make_pair("xlsr")
+    wave = jnp.asarray(make_input(rng))
+
+    def run(layout):
+        enc = Wav2Vec2Encoder(cfg.with_(attention_layout=layout))
+        out = enc.apply(params, wave)["layer_mean"]
+
+        def loss(p):
+            o = Wav2Vec2Encoder(cfg.with_(attention_layout=layout)).apply(
+                {"params": p}, wave)
+            return jnp.sum(o["layer_mean"] ** 2)
+
+        return np.asarray(out), jax.grad(loss)(params["params"])
+
+    out_a, g_a = run("bhqk")
+    out_b, g_b = run("bqhk")
+    np.testing.assert_allclose(out_a, out_b, rtol=1e-5, atol=1e-6)
+    # grads reassociate through the relayouted einsum bwd; elements near
+    # zero in O(100)-magnitude grad arrays shift at the ~1e-5 level
+    for a, b in zip(jax.tree_util.tree_leaves(g_a),
+                    jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

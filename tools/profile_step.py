@@ -42,13 +42,16 @@ def summarize_xspace(path: str, top: int = 45) -> str:
     xspace.ParseFromString(raw)
 
     def first_word(name: str) -> str:
-        """Collapse '%fusion.123 = bf16[...] fusion(...), kind=kOutputFusion'
-        to a stable op-kind + shape key."""
+        """Collapse '%fusion.123 = bf16[...]{...:T(8,128)} fusion(...), ...'
+        to a stable op-kind + shape key. NB: the layout annotation itself
+        contains parens (tiling, e.g. T(8,128)), so split on whitespace
+        first — the shape is always the first token after ' = '."""
         head = name.split(" = ", 1)
         if len(head) == 2:
-            lhs, rhs = head
-            kind = rhs.split("(", 1)[0].split(" ")[-1]
-            shape = rhs.split("(", 1)[0].replace(kind, "").strip()
+            _, rhs = head
+            toks = rhs.split(None, 1)
+            shape = toks[0]
+            kind = toks[1].split("(", 1)[0] if len(toks) > 1 else "?"
             return f"{kind} {shape}"[:120]
         return name[:120]
 
@@ -88,6 +91,23 @@ def summarize_xspace(path: str, top: int = 45) -> str:
                     f"  {ps / 1e9:10.3f} ms  x{count_by[name]:<5d} "
                     f"{ps / max(tot, 1) * 100:5.1f}%  {name}"
                 )
+            if line.name == "XLA Ops":
+                # second view: top individual HLO instructions (op name =
+                # lhs), to split e.g. optimizer updates from scan
+                # grad-accumulation that share a result shape
+                by_op = collections.Counter()
+                n_op = collections.Counter()
+                for ev in line.events:
+                    full = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+                    lhs = full.split(" = ", 1)[0][:90]
+                    by_op[lhs] += ev.duration_ps
+                    n_op[lhs] += 1
+                out.append("-- top individual ops")
+                for name, ps in by_op.most_common(30):
+                    out.append(
+                        f"  {ps / 1e9:10.3f} ms  x{n_op[name]:<5d} "
+                        f"{ps / max(tot, 1) * 100:5.1f}%  {name}"
+                    )
     return "\n".join(out) if out else "(no device planes found in xspace)"
 
 

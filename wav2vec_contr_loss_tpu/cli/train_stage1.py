@@ -47,6 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["device", "host", "off"])
     p.add_argument("--finetune_encoder", type=int, default=None, choices=[0, 1])
     p.add_argument("--remat_encoder", type=int, default=None, choices=[0, 1])
+    p.add_argument("--freeze_feature_extractor", type=int, default=None,
+                   choices=[0, 1],
+                   help="freeze the conv feature extractor while finetuning "
+                        "the transformer (HF freeze_feature_encoder() "
+                        "practice; the reference trains it — default 0)")
+    p.add_argument("--rawboost_fir_impl", type=str, default=None,
+                   choices=["direct", "fft"])
+    p.add_argument("--attention_layout", type=str, default=None,
+                   choices=["bhqk", "bqhk"])
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--loss_mode", type=str, default="binary",
                    choices=["binary", "multiclass"])
@@ -71,12 +80,13 @@ def config_from_args(args) -> Stage1Config:
               "uniformity_t", "epochs", "batch_size", "head_lr", "enc_lr",
               "weight_decay", "seed", "topk_neg", "warmup_epochs",
               "alpha_end", "alpha_ramp_epochs", "rawboost_prob",
-              "rawboost_mode", "max_duration_seconds", "hidden_dim",
-              "input_dim"):
+              "rawboost_mode", "rawboost_fir_impl", "attention_layout",
+              "max_duration_seconds", "hidden_dim", "input_dim"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v
-    for f in ("use_rawboost", "finetune_encoder", "remat_encoder"):
+    for f in ("use_rawboost", "finetune_encoder", "remat_encoder",
+              "freeze_feature_extractor"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = bool(v)

@@ -80,6 +80,9 @@ class Stage1Config:
     use_rawboost: bool = True
     rawboost_prob: float = 0.7
     rawboost_mode: str = "device"       # 'device' (fused) | 'host' (faithful) | 'off'
+    # device FIR algorithm: 'direct' | 'fft' (same linear convolution,
+    # fp32 FFT rounding ~1e-6 relative — see ops/rawboost.py)
+    rawboost_fir_impl: str = "direct"
 
     compute_dtype: str = "bfloat16"     # encoder matmul dtype; loss is fp32
     # TPU execution knobs. The defaults below ARE the measured-good recipe
@@ -106,6 +109,14 @@ class Stage1Config:
     # K=25 layer-mean accumulator domain: 'float32' (exact) | 'bfloat16'
     # (measured throughput-neutral at the recipe — kept fp32)
     layer_mean_dtype: str = "float32"
+    # attention score layout: 'bhqk' (head-major) | 'bqhk' (time-major —
+    # avoids XLA relayout copies around the score matmuls). Identical
+    # values either way.
+    attention_layout: str = "bhqk"
+    # Freeze the conv feature extractor while finetuning the transformer
+    # (standard HF practice; skips the conv backward). The reference's
+    # freeze is all-or-nothing (encoder.py:24-26) — parity default False.
+    freeze_feature_extractor: bool = False
     # AdamW first-moment storage. 'bfloat16' halves mu traffic/residency
     # (~1.3 GB less HBM per step for the 315M-param encoder) — measured
     # 148.1 vs 145.8 clips/s/chip at the bs=32 finetune recipe (r2 sweep).

@@ -67,6 +67,11 @@ class RawBoostParams:
     prob: float = 0.7
     ssi_prob: float = 0.5
     isd_prob: float = 0.5
+    # device FIR algorithm (ops/rawboost.py only; the host path is always
+    # scipy-direct): 'direct' (jnp.convolve at HIGHEST) | 'fft' (padded
+    # rfft/irfft circular convolution — identical linear convolution up to
+    # fp32 FFT rounding, ~1e-6 relative)
+    fir_impl: str = "direct"
 
 
 def norm_wav(x: np.ndarray, always: bool) -> np.ndarray:

@@ -100,6 +100,17 @@ class Wav2Vec2Config:
     # 'bfloat16' (halves the (B,T,D) carry traffic through all 24 scan
     # iterations and its remat residents)
     layer_mean_dtype: str = "float32"
+    # attention score tensor layout: 'bhqk' (head-major, the classic
+    # formulation) | 'bqhk' (time-major — q/k/v stay (B,T,H,d) so XLA
+    # needn't relayout activations around the score matmuls). Identical
+    # values (same contractions/softmax axis); only the XLA layout
+    # assignment differs.
+    attention_layout: str = "bhqk"
+    # Stop gradients at the conv feature extractor during finetuning (the
+    # standard HF practice — freeze_feature_encoder()). The reference's
+    # freeze is all-or-nothing (encoder.py:24-26), so parity default is
+    # False; True skips the conv dW/dX backward entirely.
+    freeze_feature_extractor: bool = False
 
     def with_(self, **kw) -> "Wav2Vec2Config":
         return dataclasses.replace(self, **kw)
@@ -343,18 +354,22 @@ class SelfAttention(nn.Module):
 
         sm_dtype = (cfg.dtype if cfg.softmax_dtype == "bfloat16"
                     else jnp.float32)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=sm_dtype)
+        # score layout: 'bqhk' keeps q/k/v time-major so no (B,H,..)
+        # relayout copies; values identical — keys are axis -1 either way
+        score = ("bqhd,bkhd->bqhk" if cfg.attention_layout == "bqhk"
+                 else "bqhd,bkhd->bhqk")
+        logits = jnp.einsum(score, q, k, preferred_element_type=sm_dtype)
         if key_bias is not None:
             # (B, 1, 1, T) additive -inf mask (-1e30 is representable in
-            # bf16 — same exponent range as fp32)
+            # bf16 — same exponent range as fp32); broadcasts over both
+            # (B,H,Tq,Tk) and (B,Tq,H,Tk)
             logits = logits + key_bias.astype(sm_dtype)
         probs = jax.nn.softmax(logits, axis=-1)
         # dropout in the compute dtype (the torch-AMP behavior): halves the
         # (B,H,T,T) traffic vs dropping out the fp32 probabilities
         probs = _dropout(self, cfg, probs.astype(cfg.dtype),
                          cfg.attention_dropout, deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = jnp.einsum(score.split("->")[1] + ",bkhd->bqhd", probs, v)
         return dense("out_proj")(out.reshape(b, t, d))
 
 
@@ -435,6 +450,10 @@ class Wav2Vec2Encoder(nn.Module):
             attention_mask = (waveforms != 0.0).astype(jnp.int32)
 
         features = FeatureExtractor(cfg, name="feature_extractor")(waveforms)
+        if cfg.freeze_feature_extractor:
+            # structural-zero grads for the conv stack: XLA dead-code
+            # eliminates its whole backward (dW + dX convs)
+            features = jax.lax.stop_gradient(features)
         t_frames = features.shape[1]
 
         lengths = _frame_lengths(attention_mask.sum(-1).astype(jnp.int32), cfg)

@@ -108,13 +108,37 @@ def _notch_chain(key: jax.Array, p: RawBoostParams, min_g: float,
     return b, length
 
 
-def _filter_centered(x: jnp.ndarray, b: jnp.ndarray,
-                     length: jnp.ndarray) -> jnp.ndarray:
+def _fft_size(m: int) -> int:
+    """Smallest 2^a * b (b in {1,3,5}) >= m — radices the TPU FFT handles
+    without Bluestein."""
+    best = None
+    for b in (1, 3, 5):
+        p = 1
+        while b * p < m:
+            p <<= 1
+        n = b * p
+        best = n if best is None or n < best else best
+    return best
+
+
+def _filter_centered(x: jnp.ndarray, b: jnp.ndarray, length: jnp.ndarray,
+                     impl: str = "direct") -> jnp.ndarray:
     """Group-delay-centered FIR filtering, output length == input length
     (reference: RawBoost.py:51-56: pad by N=len(b)+1, lfilter, slice
-    [N//2 : -N//2])."""
+    [N//2 : -N//2]).
+
+    impl='fft': the same linear convolution via zero-padded rfft/irfft
+    (n >= t+CHAIN-1, so the circular wrap never reaches the live range) —
+    ~6x fewer FLOPs than the direct form at fp32 precision (~1e-6 relative
+    rounding, vs the -53 dB that disqualified a bf16 direct conv)."""
     t = x.shape[0]
-    full = jnp.convolve(x, b, mode="full", precision=jax.lax.Precision.HIGHEST)
+    if impl == "fft":
+        n = _fft_size(t + CHAIN - 1)
+        full = jnp.fft.irfft(jnp.fft.rfft(x, n=n) * jnp.fft.rfft(b, n=n),
+                             n=n)[: t + CHAIN - 1]
+    else:
+        full = jnp.convolve(x, b, mode="full",
+                            precision=jax.lax.Precision.HIGHEST)
     start = (length + 1) // 2
     return jax.lax.dynamic_slice(full, (start,), (t,))
 
@@ -140,7 +164,7 @@ def _lnl(x: jnp.ndarray, key: jax.Array, p: RawBoostParams) -> jnp.ndarray:
             min_g = p.min_g - p.min_bias_lin_nonlin
             max_g = p.max_g - p.max_bias_lin_nonlin
         b, length = _notch_chain(keys[i], p, min_g, max_g)
-        y = y + _filter_centered(jnp.power(x, i + 1), b, length)
+        y = y + _filter_centered(jnp.power(x, i + 1), b, length, p.fir_impl)
     y = y - jnp.mean(y)
     return _norm_wav(y, always=False)
 
@@ -151,7 +175,8 @@ def _ssi(x: jnp.ndarray, key: jax.Array, p: RawBoostParams) -> jnp.ndarray:
     k_noise, k_chain, k_snr = jax.random.split(key, 3)
     noise = jax.random.normal(k_noise, x.shape, jnp.float32)
     b, length = _notch_chain(k_chain, p, p.min_g, p.max_g)
-    noise = _norm_wav(_filter_centered(noise, b, length), always=True)
+    noise = _norm_wav(_filter_centered(noise, b, length, p.fir_impl),
+                      always=True)
     snr = p.snr_min + jax.random.uniform(k_snr) * (p.snr_max - p.snr_min)
     scale = (
         jnp.linalg.norm(x) / jnp.maximum(jnp.linalg.norm(noise), 1e-30)

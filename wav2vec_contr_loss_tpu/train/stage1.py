@@ -62,8 +62,24 @@ class Stage1State:
     rng: jax.Array       # PRNG key threaded through steps
 
 
-def _param_groups(params: Dict) -> Dict:
-    return {k: ("encoder" if k == "encoder" else "head") for k in params}
+def _param_groups(params: Dict, freeze_fx: bool = False) -> Dict:
+    """Label tree for optax.multi_transform: 'head' | 'encoder', plus
+    'frozen' for the conv feature extractor when freeze_feature_extractor
+    is on (its grads are structural zeros via stop_gradient; the 'frozen'
+    group also suppresses AdamW weight decay and carries no mu/nu state)."""
+    labels = {}
+    for k, v in params.items():
+        if k != "encoder":
+            labels[k] = jax.tree_util.tree_map(lambda _: "head", v)
+        else:
+            labels[k] = {
+                sub: jax.tree_util.tree_map(
+                    lambda _: ("frozen" if freeze_fx
+                               and sub == "feature_extractor" else "encoder"),
+                    tree)
+                for sub, tree in v.items()
+            }
+    return labels
 
 
 def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransformation:
@@ -82,8 +98,10 @@ def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransforma
     )
     enc_tx = optax.adamw(cfg.enc_lr, weight_decay=cfg.weight_decay,
                          mu_dtype=mu_dtype)
+    freeze_fx = getattr(cfg, "freeze_feature_extractor", False)
     return optax.multi_transform(
-        {"head": head_tx, "encoder": enc_tx}, _param_groups(params)
+        {"head": head_tx, "encoder": enc_tx, "frozen": optax.set_to_zero()},
+        _param_groups(params, freeze_fx),
     )
 
 
@@ -116,6 +134,9 @@ class Stage1Trainer:
             dropout_impl=getattr(cfg, "dropout_impl", "threefry"),
             softmax_dtype=getattr(cfg, "softmax_dtype", "float32"),
             layer_mean_dtype=getattr(cfg, "layer_mean_dtype", "float32"),
+            attention_layout=getattr(cfg, "attention_layout", "bhqk"),
+            freeze_feature_extractor=getattr(
+                cfg, "freeze_feature_extractor", False),
         )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
@@ -131,7 +152,8 @@ class Stage1Trainer:
         )
         self.multiclass_temperature = multiclass_temperature
         self.rawboost_params = RawBoostParams(
-            sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob
+            sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob,
+            fir_impl=getattr(cfg, "rawboost_fir_impl", "direct"),
         )
         self._enc_params_init = enc_params
         self._build_steps()
