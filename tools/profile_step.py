@@ -118,7 +118,9 @@ def main() -> None:
     ap.add_argument("--mode", choices=["finetune", "frozen"], default="finetune")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--softmax_dtype", choices=["float32", "bfloat16"],
-                    default="float32")
+                    default=None,
+                    help="None -> inherit the Stage1Config default")
+    ap.add_argument("--freeze_fx", action="store_true")
     ap.add_argument("--remat", default="default")
     ap.add_argument("--out", default="/tmp/w2v_profile")
     ap.add_argument("--summarize_only", default=None,
@@ -151,7 +153,9 @@ def main() -> None:
         use_rawboost=True, rawboost_mode="device", rawboost_prob=0.7,
         temperature=0.07, compute_dtype="bfloat16",
         attention_impl=args.attention,
-        softmax_dtype=args.softmax_dtype,
+        **({"softmax_dtype": args.softmax_dtype}
+           if args.softmax_dtype is not None else {}),
+        **({"freeze_feature_extractor": True} if args.freeze_fx else {}),
     )
     if args.remat != "default":
         cfg = cfg.replace(remat_encoder=True, remat_policy=args.remat)
