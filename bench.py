@@ -58,6 +58,8 @@ def main(argv=None) -> None:
                          "the reference trains it — non-default)")
     ap.add_argument("--fir", choices=["direct", "fft"], default=None,
                     help="device RawBoost FIR algorithm")
+    ap.add_argument("--conv_ln", choices=["xla", "pallas"], default=None,
+                    help="conv-extractor LayerNorm implementation")
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args(argv)
 
@@ -94,7 +96,8 @@ def main(argv=None) -> None:
             ("layer_mean_dtype", args.layer_mean_dtype),
             ("adam_mu_dtype", args.adam_mu_dtype),
             ("attention_layout", args.attention_layout),
-            ("rawboost_fir_impl", args.fir)) if v is not None},
+            ("rawboost_fir_impl", args.fir),
+            ("conv_ln_impl", args.conv_ln)) if v is not None},
     )
     if args.freeze_fx:
         cfg = cfg.replace(freeze_feature_extractor=True)

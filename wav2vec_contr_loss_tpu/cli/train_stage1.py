@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["direct", "fft"])
     p.add_argument("--attention_layout", type=str, default=None,
                    choices=["bhqk", "bqhk"])
+    p.add_argument("--conv_ln_impl", type=str, default=None,
+                   choices=["xla", "pallas"])
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--loss_mode", type=str, default="binary",
                    choices=["binary", "multiclass"])
@@ -81,7 +83,8 @@ def config_from_args(args) -> Stage1Config:
               "weight_decay", "seed", "topk_neg", "warmup_epochs",
               "alpha_end", "alpha_ramp_epochs", "rawboost_prob",
               "rawboost_mode", "rawboost_fir_impl", "attention_layout",
-              "max_duration_seconds", "hidden_dim", "input_dim"):
+              "conv_ln_impl", "max_duration_seconds", "hidden_dim",
+              "input_dim"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v

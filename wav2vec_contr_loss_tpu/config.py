@@ -120,6 +120,8 @@ class Stage1Config:
     # (standard HF practice; skips the conv backward). The reference's
     # freeze is all-or-nothing (encoder.py:24-26) — parity default False.
     freeze_feature_extractor: bool = False
+    # conv-extractor LayerNorm impl: 'xla' | 'pallas' (fused LN+GELU)
+    conv_ln_impl: str = "xla"
     # AdamW first-moment storage. 'bfloat16' halves mu traffic/residency
     # (~1.3 GB less HBM per step for the 315M-param encoder) — measured
     # 148.1 vs 145.8 clips/s/chip at the bs=32 finetune recipe (r2 sweep).

@@ -111,6 +111,10 @@ class Wav2Vec2Config:
     # freeze is all-or-nothing (encoder.py:24-26), so parity default is
     # False; True skips the conv dW/dX backward entirely.
     freeze_feature_extractor: bool = False
+    # conv-extractor LayerNorm implementation: 'xla' (flax) | 'pallas'
+    # (fused VMEM LN+GELU fwd/bwd — one HBM pass each way instead of
+    # XLA's several over the huge early activations)
+    conv_ln_impl: str = "xla"
 
     def with_(self, **kw) -> "Wav2Vec2Config":
         return dataclasses.replace(self, **kw)
@@ -220,19 +224,45 @@ def _dropout(mod: nn.Module, cfg: "Wav2Vec2Config", x: jnp.ndarray,
     return nn.Dropout(rate)(x, deterministic=False)
 
 
+class _LNParams(nn.Module):
+    """Bare scale/bias holder reproducing flax LayerNorm's param tree
+    (norm{i}/LayerNorm_0/{scale,bias}) for the fused pallas path, so
+    checkpoints and HF conversion are impl-agnostic."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones,
+                       (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return s, b
+
+
 class _ConvLayerNorm(nn.Module):
     """LayerNorm over the channel dim of (B, T, C).
 
     IO follows the compute dtype — the early conv activations are huge
     (bf16[32,15999,512]) and fp32 materialization doubles their HBM
     traffic; flax still computes mean/var in fp32 internally. Matches the
-    reference baseline's AMP behavior (torch LayerNorm under autocast)."""
+    reference baseline's AMP behavior (torch LayerNorm under autocast).
+
+    impl='pallas' runs the fused VMEM kernel (ops/conv_ln_pallas.py),
+    optionally with the following exact GELU folded in (fuse_gelu)."""
 
     eps: float
     dtype: jnp.dtype
+    impl: str = "xla"
+    fuse_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.impl == "pallas":
+            from ..ops.conv_ln_pallas import fused_ln_gelu
+
+            s, b = _LNParams(x.shape[-1], name="LayerNorm_0")()
+            return fused_ln_gelu(x, s, b, self.eps, self.fuse_gelu)
         return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                             param_dtype=jnp.float32)(x)
 
@@ -260,8 +290,12 @@ class FeatureExtractor(nn.Module):
                 name=f"conv{i}",
             )(x)
             if cfg.feat_extract_norm == "layer":
+                fuse = cfg.conv_ln_impl == "pallas"
                 x = _ConvLayerNorm(cfg.layer_norm_eps, cfg.dtype,
+                                   impl=cfg.conv_ln_impl, fuse_gelu=fuse,
                                    name=f"norm{i}")(x)
+                if fuse:
+                    continue  # GELU folded into the kernel
             elif cfg.feat_extract_norm == "group" and i == 0:
                 x = nn.GroupNorm(
                     num_groups=dim, epsilon=cfg.layer_norm_eps,

@@ -137,6 +137,7 @@ class Stage1Trainer:
             attention_layout=getattr(cfg, "attention_layout", "bhqk"),
             freeze_feature_extractor=getattr(
                 cfg, "freeze_feature_extractor", False),
+            conv_ln_impl=getattr(cfg, "conv_ln_impl", "xla"),
         )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
