@@ -60,6 +60,8 @@ def main(argv=None) -> None:
                     help="device RawBoost FIR algorithm")
     ap.add_argument("--conv_ln", choices=["xla", "pallas"], default=None,
                     help="conv-extractor LayerNorm implementation")
+    ap.add_argument("--scan_unroll", type=int, default=None,
+                    help="encoder layer-scan unroll factor (default 24)")
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args(argv)
 
@@ -97,7 +99,8 @@ def main(argv=None) -> None:
             ("adam_mu_dtype", args.adam_mu_dtype),
             ("attention_layout", args.attention_layout),
             ("rawboost_fir_impl", args.fir),
-            ("conv_ln_impl", args.conv_ln)) if v is not None},
+            ("conv_ln_impl", args.conv_ln),
+            ("scan_unroll", args.scan_unroll)) if v is not None},
     )
     if args.freeze_fx:
         cfg = cfg.replace(freeze_feature_extractor=True)

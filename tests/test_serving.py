@@ -55,3 +55,16 @@ def test_fused_scorer_matches_pipeline(tmp_path):
     got, got_labels = scorer.score_dataset(pipe)
     np.testing.assert_array_equal(got_labels, labels)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bench_serving_smoke(capsys):
+    """The serving-latency component bench runs end-to-end on the tiny
+    model and emits JSON-serializable numbers."""
+    import json
+
+    from wav2vec_contr_loss_tpu.cli.bench_components import bench_serving
+
+    out = bench_serving(batch=2, seconds=1, repeats=2, model="tiny")
+    s = json.dumps(out)  # must be JSON-clean
+    assert "serving_p50_ms" in s
+    assert out["serving_clips_per_sec"] > 0

@@ -135,11 +135,88 @@ def bench_supcon(batch: int = 256, dim: int = 256, repeats: int = 50) -> dict:
     return out
 
 
+def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
+                  model: str = "xlsr") -> dict:
+    """End-to-end serving latency: waveform batch -> spoof logits through
+    the fused SpoofScorer graph (encoder + compression + pooling + head in
+    one jit — the reference's two-process .npy pipeline collapsed,
+    reference: extract_stage1_embeddings.py + generate_eval_score_file.py).
+    Host->device->host round trip included, as a deployment would see."""
+    import jax
+
+    from ..config import Stage1Config, Stage2Config
+    from ..eval.serving import SpoofScorer
+    from ..models.heads import build_head
+    from ..models.wav2vec2 import XLSR_300M, Wav2Vec2Config
+    from ..train import Stage1Trainer
+
+    if model == "xlsr":
+        enc_cfg, input_dim = XLSR_300M, 1024
+    else:  # tiny: CI / CPU smoke
+        enc_cfg = Wav2Vec2Config(
+            hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+            conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            apply_spec_augment=False)
+        input_dim = 32
+    cfg = Stage1Config(batch_size=batch, finetune_encoder=False,
+                       use_rawboost=False, input_dim=input_dim,
+                       max_duration_seconds=seconds)
+    trainer = Stage1Trainer(cfg, enc_config=enc_cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    cfg2 = Stage2Config()
+    head = build_head(cfg2.head_type, cfg2.hidden_dim, cfg2.dropout)
+    import jax.numpy as jnp
+    head_params = head.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, cfg.hidden_dim)))["params"]
+    scorer = SpoofScorer(trainer, state, cfg2, head_params)
+
+    rng = np.random.default_rng(0)
+    t = seconds * cfg.target_sample_rate
+    waves = rng.normal(0, 0.2, (batch, t)).astype(np.float32)
+    _ = scorer.score_waveforms(waves)  # compile
+    lat = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = scorer.score_waveforms(waves)  # np.asarray = host sync
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.sort(np.asarray(lat))
+    return {
+        "serving_batch": batch,
+        "serving_p50_ms": round(float(lat[len(lat) // 2]), 2),
+        "serving_p95_ms": round(float(lat[int(len(lat) * 0.95)]), 2),
+        "serving_clips_per_sec": round(float(batch / (lat.mean() / 1e3)), 1),
+    }
+
+
+def _enable_compile_cache() -> None:
+    """Same persistent cache bench.py uses — serving/supcon programs are
+    expensive first compiles on the remote-compile service."""
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--which", type=str, default="all",
-                   choices=["all", "decode", "rawboost", "supcon"])
+                   choices=["all", "decode", "rawboost", "supcon", "serving"])
+    p.add_argument("--serving_model", type=str, default="xlsr",
+                   choices=["xlsr", "tiny"])
+    p.add_argument("--serving_batch", type=int, default=8)
+    p.add_argument("--serving_seconds", type=int, default=5)
+    p.add_argument("--serving_repeats", type=int, default=30)
     args = p.parse_args(argv)
+    _enable_compile_cache()
     results = {}
     if args.which in ("all", "decode"):
         results.update(bench_decode())
@@ -147,6 +224,11 @@ def main(argv=None) -> None:
         results.update(bench_rawboost())
     if args.which in ("all", "supcon"):
         results.update(bench_supcon())
+    if args.which == "serving":  # not in 'all': compiles a full encoder
+        results.update(bench_serving(batch=args.serving_batch,
+                                     seconds=args.serving_seconds,
+                                     repeats=args.serving_repeats,
+                                     model=args.serving_model))
     print(json.dumps(results))
 
 
