@@ -159,9 +159,13 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
             num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
             apply_spec_augment=False)
         input_dim = 32
+    # scan_unroll=1: the full unroll only pays off in the training bwd
+    # (dynamic-slice tax there); a forward-only serving graph runs the
+    # rolled scan at the same speed with a far smaller/faster compile
     cfg = Stage1Config(batch_size=batch, finetune_encoder=False,
                        use_rawboost=False, input_dim=input_dim,
-                       max_duration_seconds=seconds)
+                       max_duration_seconds=seconds, scan_unroll=1,
+                       remat_encoder=False)
     trainer = Stage1Trainer(cfg, enc_config=enc_cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
 

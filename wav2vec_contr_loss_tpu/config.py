@@ -256,10 +256,15 @@ class BaselineConfig:
     use_pos_weight: bool = True
 
     compute_dtype: str = "bfloat16"     # the AMP equivalent; no GradScaler
-    # same measured TPU recipe as Stage1Config (numerically neutral)
+    # same measured TPU recipe as Stage1Config (see its knob comments for
+    # the measurements; each deviation restores with one flag)
     remat_encoder: bool = True
     remat_policy: str = "dots"
     scan_unroll: int = 24
+    dropout_impl: str = "murmur"
+    softmax_dtype: str = "bfloat16"
+    adam_mu_dtype: str = "bfloat16"
+    rawboost_fir_impl: str = "fft"
 
     def replace(self, **kw) -> "BaselineConfig":
         return dataclasses.replace(self, **kw)

@@ -62,6 +62,8 @@ class BaselineTrainer:
             dtype=dtype, remat=cfg.remat_encoder,
             remat_policy=getattr(cfg, "remat_policy", "full"),
             scan_unroll=getattr(cfg, "scan_unroll", 1),
+            dropout_impl=getattr(cfg, "dropout_impl", "threefry"),
+            softmax_dtype=getattr(cfg, "softmax_dtype", "float32"),
         )
         self.encoder = Wav2Vec2Encoder(self.enc_config)
         self.compression = CompressionModule(
@@ -70,7 +72,8 @@ class BaselineTrainer:
         )
         self.pos_weight = pos_weight if cfg.use_pos_weight else None
         self.rawboost_params = RawBoostParams(
-            sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob
+            sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob,
+            fir_impl=getattr(cfg, "rawboost_fir_impl", "direct"),
         )
         self._enc_params_init = enc_params
         self._build_steps()
@@ -103,12 +106,18 @@ class BaselineTrainer:
         # reference param groups: encoder @ enc_lr, the rest @ head_lr;
         # global-norm clip 5.0 over the whole update (baseline_train.py:203)
         labels = {k: ("encoder" if k == "encoder" else "head") for k in trainable}
+        mu_dtype = (jnp.bfloat16 if getattr(cfg, "adam_mu_dtype", "float32")
+                    == "bfloat16" else None)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.multi_transform(
                 {
-                    "head": optax.adamw(cfg.head_lr, weight_decay=cfg.weight_decay),
-                    "encoder": optax.adamw(cfg.enc_lr, weight_decay=cfg.weight_decay),
+                    "head": optax.adamw(cfg.head_lr,
+                                        weight_decay=cfg.weight_decay,
+                                        mu_dtype=mu_dtype),
+                    "encoder": optax.adamw(cfg.enc_lr,
+                                           weight_decay=cfg.weight_decay,
+                                           mu_dtype=mu_dtype),
                 },
                 labels,
             ),
