@@ -143,3 +143,59 @@ def test_global_loss_equals_replica_average():
     ls = jax.device_put(labels, batch_sharding(mesh))
     sharded = float(supcon_binary_loss(zs, ls, 0.0, cfg))
     assert sharded == pytest.approx(local, rel=1e-5)
+
+
+def test_fsdp_param_sharding_numerics():
+    """param_sharding='fsdp' (ZeRO-3 over the stacked layer axis): the
+    train step matches single-device numerics, the stacked layer params
+    AND their Adam state are actually sharded along 'data', and the
+    non-stacked params stay replicated."""
+    cfg = Stage1Config(
+        batch_size=16, max_duration_seconds=1, target_sample_rate=2000,
+        input_dim=32, hidden_dim=16, use_rawboost=False,
+        finetune_encoder=True, compute_dtype="float32", seed=0,
+        param_sharding="fsdp",
+    )
+    wave, labels = _batch()
+    batch = {"waveforms": wave, "labels": labels, "multi_labels": labels}
+
+    def run(mesh, c):
+        trainer = Stage1Trainer(cfg.replace(**c), enc_config=TINY_ENC,
+                                mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        sh = batch_sharding(mesh)
+        dev_batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+        state, metrics = trainer.train_step(
+            state, dev_batch, jnp.zeros((), jnp.float32))
+        return float(metrics["loss"]), state
+
+    # TINY_ENC stacks 2 layers -> use a 2-wide data axis so it divides
+    mesh2 = make_mesh(devices=np.array(jax.devices()[:2]))
+    loss_f, state_f = run(mesh2, {})
+    loss_s, state_s = run(make_mesh(devices=np.array(jax.devices()[:1])),
+                          {"param_sharding": "replicated"})
+
+    assert np.isfinite(loss_f)
+    assert loss_f == pytest.approx(loss_s, rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state_f.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_s.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    enc = state_f.params["encoder"]["layers"]["layer"]
+    qk = enc["attention"]["q_proj"]["kernel"]
+    assert tuple(qk.sharding.spec)[:1] == ("data",), qk.sharding.spec
+    # conv extractor (non-stacked) stays replicated
+    fx_leaf = jax.tree_util.tree_leaves(
+        state_f.params["encoder"]["feature_extractor"])[0]
+    assert all(s is None for s in tuple(fx_leaf.sharding.spec))
+
+    # Adam state shards with the params (the ZeRO memory win)
+    mu_sharded = [
+        x for x in jax.tree_util.tree_leaves(
+            state_f.opt_state,
+            is_leaf=lambda x: hasattr(x, "sharding"))
+        if hasattr(x, "sharding") and hasattr(x, "ndim") and x.ndim == 3
+        and "data" in (x.sharding.spec or ())
+    ]
+    assert mu_sharded, "no 3-D optimizer leaf carries the 'data' axis"

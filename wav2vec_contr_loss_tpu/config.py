@@ -122,6 +122,11 @@ class Stage1Config:
     freeze_feature_extractor: bool = False
     # conv-extractor LayerNorm impl: 'xla' | 'pallas' (fused LN+GELU)
     conv_ln_impl: str = "xla"
+    # Parameter/optimizer-state layout over the mesh: 'replicated'
+    # (XLS-R-300m fits per chip) | 'fsdp' (ZeRO-3: stacked layer params +
+    # Adam state sharded along 'data'; XLA all-gathers per layer and
+    # reduce-scatters grads — for bigger encoders / smaller chips)
+    param_sharding: str = "replicated"
     # AdamW first-moment storage. 'bfloat16' halves mu traffic/residency
     # (~1.3 GB less HBM per step for the 315M-param encoder) — measured
     # 148.1 vs 145.8 clips/s/chip at the bs=32 finetune recipe (r2 sweep).

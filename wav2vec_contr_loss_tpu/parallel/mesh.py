@@ -106,10 +106,30 @@ def param_sharding_rules(path: str, ndim: int, tensor_parallel: bool) -> P:
     return P()  # replicated
 
 
-def shard_params(params, mesh: Mesh, tensor_parallel: Optional[bool] = None):
-    """Apply the layout to a parameter pytree via device_put."""
+def _with_fsdp_axis(spec: P, shape, n_data: int) -> P:
+    """Add 'data' sharding on the stacked-layer axis (axis 0) when it
+    divides. Composes with TP specs — e.g. a stacked qkv kernel becomes
+    P('data', None, 'model') (ZeRO-3 params + Megatron columns)."""
+    if not shape or shape[0] % max(n_data, 1) or n_data <= 1:
+        return spec
+    rest = tuple(spec) + (None,) * (len(shape) - 1 - len(tuple(spec)))
+    return P("data", *rest[1:]) if len(shape) > 1 else P("data")
+
+
+def shard_params(params, mesh: Mesh, tensor_parallel: Optional[bool] = None,
+                 fsdp: bool = False):
+    """Apply the layout to a parameter pytree via device_put.
+
+    fsdp=True additionally shards every scan-stacked encoder-layer
+    parameter (paths under `layers/`, leading axis = the 24-layer stack)
+    along 'data' — ZeRO-3 semantics: XLA all-gathers each layer's slice
+    on use and reduce-scatters its gradient, and the optimizer state
+    (mirroring the param tree) shrinks by the data-axis size per chip.
+    Params whose leading dim doesn't divide the data axis stay on their
+    base layout (the conv extractor / heads are small and replicated)."""
     if tensor_parallel is None:
         tensor_parallel = mesh.shape.get("model", 1) > 1
+    n_data = mesh.shape.get("data", 1)
 
     def path_str(kp):
         parts = []
@@ -123,7 +143,10 @@ def shard_params(params, mesh: Mesh, tensor_parallel: Optional[bool] = None):
         return "/".join(parts)
 
     def place(kp, leaf):
-        spec = param_sharding_rules(path_str(kp), np.ndim(leaf), tensor_parallel)
+        path = path_str(kp)
+        spec = param_sharding_rules(path, np.ndim(leaf), tensor_parallel)
+        if fsdp and "layers/" in path:
+            spec = _with_fsdp_axis(spec, np.shape(leaf), n_data)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -201,17 +201,26 @@ class Stage1Trainer:
         # XLS-R-300m replicates comfortably on one v5e; when the mesh has a
         # 'model' axis > 1 the transformer kernels get the Megatron-style
         # column/row layout from parallel.param_sharding_rules instead.
+        # param_sharding='fsdp' additionally shards the stacked layer
+        # params along 'data' (ZeRO-3); the optimizer state is then
+        # re-initialized under jit so mu/nu inherit the param layout
+        # (GSPMD propagation) instead of replicating.
         from ..parallel.mesh import shard_params
 
+        fsdp = getattr(self.cfg, "param_sharding", "replicated") == "fsdp"
         rep = replicated(self.mesh)
-        params = shard_params(state.params, self.mesh)
-        frozen = shard_params(state.frozen, self.mesh)
-        rest = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep),
-            (state.opt_state, state.step, state.rng),
-        )
-        return Stage1State(params=params, frozen=frozen, opt_state=rest[0],
-                           step=rest[1], rng=rest[2])
+        params = shard_params(state.params, self.mesh, fsdp=fsdp)
+        frozen = shard_params(state.frozen, self.mesh, fsdp=fsdp)
+        if fsdp:
+            with self.mesh:
+                opt_state = jax.jit(self.tx.init)(params)
+        else:
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), state.opt_state)
+        step, rng = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), (state.step, state.rng))
+        return Stage1State(params=params, frozen=frozen, opt_state=opt_state,
+                           step=step, rng=rng)
 
     # ------------------------------------------------------------- steps
     def _embed(self, params: Dict, frozen: Dict, batch: Dict,
