@@ -52,3 +52,29 @@ def test_set_seed_reproducible():
     g2 = set_seed(7)
     np.testing.assert_array_equal(a, g2.random(3))
     assert random.random() == r1
+
+
+def test_maybe_initialize_multihost(monkeypatch):
+    """maybe_initialize: no-op without markers/force; calls
+    jax.distributed.initialize exactly once when forced (idempotent)."""
+    import wav2vec_contr_loss_tpu.utils.distributed as dist
+
+    monkeypatch.setattr(dist, "_initialized", False)
+    for marker in dist._MARKERS:
+        monkeypatch.delenv(marker, raising=False)
+    assert dist.maybe_initialize() is False
+
+    calls = []
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    assert dist.maybe_initialize(force=True) is True
+    assert dist.maybe_initialize(force=True) is True  # idempotent
+    assert calls == [1]
+
+    # env marker triggers without force
+    monkeypatch.setattr(dist, "_initialized", False)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    assert dist.maybe_initialize() is True
+    assert calls == [1, 1]

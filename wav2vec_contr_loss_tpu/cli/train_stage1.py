@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans — the functional-purity "
                         "equivalent of a sanitizer (SURVEY.md §5)")
+    p.add_argument("--multihost", type=int, default=None, choices=[0, 1],
+                   help="force (1) / suppress (0) jax.distributed."
+                        "initialize(); default auto-detects a pod launch "
+                        "(utils/distributed.py)")
+    p.add_argument("--param_sharding", type=str, default=None,
+                   choices=["replicated", "fsdp"])
     return p
 
 
@@ -83,8 +89,8 @@ def config_from_args(args) -> Stage1Config:
               "weight_decay", "seed", "topk_neg", "warmup_epochs",
               "alpha_end", "alpha_ramp_epochs", "rawboost_prob",
               "rawboost_mode", "rawboost_fir_impl", "attention_layout",
-              "conv_ln_impl", "max_duration_seconds", "hidden_dim",
-              "input_dim"):
+              "conv_ln_impl", "param_sharding", "max_duration_seconds",
+              "hidden_dim", "input_dim"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v
@@ -105,6 +111,10 @@ def config_from_args(args) -> Stage1Config:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.multihost != 0:
+        from ..utils.distributed import maybe_initialize
+
+        maybe_initialize(force=args.multihost == 1)
     if args.debug_nans:
         import jax
 
