@@ -65,15 +65,12 @@ def main(argv=None) -> None:
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args(argv)
 
-    import jax
+    import jax  # noqa: F401  (backend selected before any device use)
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from wav2vec_contr_loss_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     import jax.numpy as jnp
 
     from wav2vec_contr_loss_tpu.config import Stage1Config

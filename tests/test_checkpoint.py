@@ -51,3 +51,37 @@ def test_crash_mid_save_preserves_previous(tmp_path, monkeypatch):
     state, sidecar = ckpt.restore_checkpoint(d, "latest", _state(0.0))
     np.testing.assert_array_equal(state["w"], np.full((3,), 3.0, np.float32))
     assert sidecar["config"] == {"epoch": 3}
+
+
+def test_crash_window_recovery(tmp_path):
+    """A crash between the two renames in save_checkpoint leaves a complete
+    copy under 'latest.saving' or 'latest.replaced' but no 'latest';
+    checkpoint_exists/restore must adopt it (review finding r2)."""
+    import os
+    import shutil
+
+    from wav2vec_contr_loss_tpu.train import checkpoint as ck
+
+    d = str(tmp_path)
+    state = {"w": np.arange(4, dtype=np.float32)}
+    ck.save_checkpoint(d, "latest", state, config={"A": 1})
+    path = os.path.join(d, "latest")
+
+    # crash flavor 1: new state written, old displaced, final rename lost
+    os.rename(path, path + ".saving")
+    assert ck.checkpoint_exists(d, "latest")      # recovered from .saving
+    got, _ = ck.restore_checkpoint(d, "latest", target=state)
+    np.testing.assert_array_equal(got["w"], state["w"])
+
+    # crash flavor 2: only the displaced previous copy survives
+    os.rename(path, path + ".replaced")
+    assert ck.checkpoint_exists(d, "latest")      # recovered from .replaced
+    got, _ = ck.restore_checkpoint(d, "latest", target=state)
+    np.testing.assert_array_equal(got["w"], state["w"])
+
+    # a further save still works and cleans up
+    ck.save_checkpoint(d, "latest", {"w": state["w"] + 1}, config={"A": 2})
+    got, _ = ck.restore_checkpoint(d, "latest", target=state)
+    np.testing.assert_array_equal(got["w"], state["w"] + 1)
+    assert not os.path.exists(path + ".saving")
+    assert not os.path.exists(path + ".replaced")

@@ -131,15 +131,11 @@ def main() -> None:
         print(summarize_xspace(args.summarize_only))
         return
 
-    import jax
+    import jax  # noqa: F401
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from wav2vec_contr_loss_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from wav2vec_contr_loss_tpu.config import Stage1Config

@@ -194,22 +194,6 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
     }
 
 
-def _enable_compile_cache() -> None:
-    """Same persistent cache bench.py uses — serving/supcon programs are
-    expensive first compiles on the remote-compile service."""
-    import os
-
-    import jax
-
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--which", type=str, default="all",
@@ -220,7 +204,9 @@ def main(argv=None) -> None:
     p.add_argument("--serving_seconds", type=int, default=5)
     p.add_argument("--serving_repeats", type=int, default=30)
     args = p.parse_args(argv)
-    _enable_compile_cache()
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     results = {}
     if args.which in ("all", "decode"):
         results.update(bench_decode())

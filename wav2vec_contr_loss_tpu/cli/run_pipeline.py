@@ -55,15 +55,12 @@ def main(argv=None) -> None:
     p.add_argument("--resume", action="store_true",
                    help="resume stage-1 from its latest checkpoint; later "
                         "stages are already idempotent (skip-if-exists)")
-    p.add_argument("--multihost", type=int, default=None, choices=[0, 1],
-                   help="force (1) / suppress (0) jax.distributed."
-                        "initialize(); default auto-detects a pod launch")
+    from ..utils.distributed import add_multihost_arg, init_from_args
+
+    add_multihost_arg(p)
     args = p.parse_args(argv)
 
-    if args.multihost != 0:
-        from ..utils.distributed import maybe_initialize
-
-        maybe_initialize(force=args.multihost == 1)
+    init_from_args(args)
 
     exp_dir = os.path.join(args.work_dir, args.exp_name)
     ckpt_base = os.path.join(exp_dir, "checkpoints_stage1")

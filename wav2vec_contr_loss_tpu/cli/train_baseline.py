@@ -16,9 +16,9 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     add_encoder_args(p)
     add_asv_paths(p)
-    p.add_argument("--multihost", type=int, default=None, choices=[0, 1],
-                   help="force (1) / suppress (0) jax.distributed."
-                        "initialize(); default auto-detects a pod launch")
+    from ..utils.distributed import add_multihost_arg
+
+    add_multihost_arg(p)
     p.add_argument("--save_dir", type=str, default="checkpoints_baseline/run")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=32)
@@ -40,10 +40,9 @@ def main(argv=None) -> None:
     p.add_argument("--max_duration_seconds", type=int, default=5)
     args = p.parse_args(argv)
 
-    if args.multihost != 0:
-        from ..utils.distributed import maybe_initialize
+    from ..utils.distributed import init_from_args
 
-        maybe_initialize(force=args.multihost == 1)
+    init_from_args(args)
     set_seed(args.seed)
     enc_config, enc_params = build_encoder(args.model_name, args.encoder_init)
     cfg = BaselineConfig(

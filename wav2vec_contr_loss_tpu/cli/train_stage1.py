@@ -72,10 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans — the functional-purity "
                         "equivalent of a sanitizer (SURVEY.md §5)")
-    p.add_argument("--multihost", type=int, default=None, choices=[0, 1],
-                   help="force (1) / suppress (0) jax.distributed."
-                        "initialize(); default auto-detects a pod launch "
-                        "(utils/distributed.py)")
+    from ..utils.distributed import add_multihost_arg
+
+    add_multihost_arg(p)
     p.add_argument("--param_sharding", type=str, default=None,
                    choices=["replicated", "fsdp"])
     return p
@@ -111,10 +110,9 @@ def config_from_args(args) -> Stage1Config:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.multihost != 0:
-        from ..utils.distributed import maybe_initialize
+    from ..utils.distributed import init_from_args
 
-        maybe_initialize(force=args.multihost == 1)
+    init_from_args(args)
     if args.debug_nans:
         import jax
 

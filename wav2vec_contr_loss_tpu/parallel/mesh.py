@@ -142,11 +142,28 @@ def shard_params(params, mesh: Mesh, tensor_parallel: Optional[bool] = None,
                 parts.append(str(p))
         return "/".join(parts)
 
+    fsdp_hits = [0, 0]  # [stacked-layer params seen, actually sharded]
+
     def place(kp, leaf):
         path = path_str(kp)
         spec = param_sharding_rules(path, np.ndim(leaf), tensor_parallel)
         if fsdp and "layers/" in path:
-            spec = _with_fsdp_axis(spec, np.shape(leaf), n_data)
+            fsdp_hits[0] += 1
+            new = _with_fsdp_axis(spec, np.shape(leaf), n_data)
+            fsdp_hits[1] += new != spec
+            spec = new
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    out = jax.tree_util.tree_map_with_path(place, params)
+    if fsdp and fsdp_hits[0] and not fsdp_hits[1]:
+        # asked for ZeRO-3, got full replication — don't let that OOM
+        # silently on a big model: the layer-stack size must divide 'data'
+        import warnings
+
+        warnings.warn(
+            f"param_sharding='fsdp' sharded 0/{fsdp_hits[0]} stacked layer "
+            f"params: the layer-stack leading dim does not divide the "
+            f"'data' axis ({n_data}). Choose n_data dividing the layer "
+            f"count (e.g. 2/4/8/12/24 for a 24-layer encoder) or params "
+            f"stay fully replicated.", RuntimeWarning, stacklevel=2)
+    return out

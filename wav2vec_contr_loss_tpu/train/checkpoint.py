@@ -50,6 +50,22 @@ def _remove(path: str) -> None:
         shutil.rmtree(path)
 
 
+def _recover(path: str) -> None:
+    """Close the rename window: a crash between `os.rename(path, old)` and
+    `os.rename(tmp, path)` leaves no `path` but one or two complete copies
+    under the sibling names. Orbax commits its own writes atomically (an
+    interrupted save leaves a `*.orbax-checkpoint-tmp-*` dir, never the
+    plain `.saving` name), so a directory at `.saving` is a complete NEW
+    state — prefer it; `.replaced` is the complete previous state."""
+    if os.path.exists(path):
+        return
+    tmp, old = path + ".saving", path + ".replaced"
+    if os.path.isdir(tmp) and not os.path.islink(tmp):
+        os.rename(tmp, path)
+    elif os.path.isdir(old) and not os.path.islink(old):
+        os.rename(old, path)
+
+
 def save_checkpoint(directory: str, name: str, state: Any,
                     config: Optional[Dict] = None,
                     metrics: Optional[Dict] = None,
@@ -64,6 +80,7 @@ def save_checkpoint(directory: str, name: str, state: Any,
     path = os.path.abspath(os.path.join(directory, name))
     tmp = path + ".saving"
     old = path + ".replaced"
+    _recover(path)  # adopt a complete copy stranded by a mid-swap crash
     for stale in (tmp, old):
         _remove(stale)
     c = _checkpointer()
@@ -112,6 +129,7 @@ def restore_checkpoint(directory: str, name: str,
     """-> (state, sidecar dict). Pass `target` (a matching abstract/conc
     pytree) for safe typed restoration."""
     path = os.path.abspath(os.path.join(directory, name))
+    _recover(path)
     state = _checkpointer().restore(path, target) if target is not None else (
         _checkpointer().restore(path)
     )
@@ -132,4 +150,6 @@ def load_config(directory: str, name: str) -> Dict:
 
 
 def checkpoint_exists(directory: str, name: str) -> bool:
-    return os.path.isdir(os.path.join(directory, name))
+    path = os.path.abspath(os.path.join(directory, name))
+    _recover(path)
+    return os.path.isdir(path)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["maybe_initialize"]
+__all__ = ["maybe_initialize", "add_multihost_arg", "init_from_args"]
 
 # Environment markers that indicate a multi-host launch. The first two are
 # JAX's own coordinator plumbing; the TPU_* pair appear on Cloud TPU pod
@@ -45,6 +45,32 @@ def maybe_initialize(force: bool = False) -> bool:
 
     import jax
 
-    jax.distributed.initialize()
+    already = getattr(jax.distributed, "is_initialized", None)
+    if already is not None and already():
+        _initialized = True  # a launcher beat us to it — fine
+        return True
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        # double-init from an external launcher without is_initialized():
+        # jax raises "distributed.initialize should only be called once."
+        msg = str(e).lower()
+        if "once" not in msg and "already" not in msg:
+            raise
     _initialized = True
     return True
+
+
+def add_multihost_arg(parser) -> None:
+    """The shared --multihost CLI flag (one definition for every CLI)."""
+    parser.add_argument(
+        "--multihost", type=int, default=None, choices=[0, 1],
+        help="force (1) / suppress (0) jax.distributed.initialize(); "
+             "default auto-detects a pod launch (utils/distributed.py)")
+
+
+def init_from_args(args) -> bool:
+    """Apply the --multihost decision; call before any device use."""
+    if getattr(args, "multihost", None) == 0:
+        return False
+    return maybe_initialize(force=getattr(args, "multihost", None) == 1)
