@@ -242,3 +242,31 @@ def test_fsdp_shard_state_preserves_opt_values():
                for x in leaves_b if hasattr(x, "dtype")), "mu should be warm"
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_baseline_fsdp_layout():
+    """The baseline trainer shares the stage-1 layout policy: fsdp shards
+    its stacked layer params + opt state; one step runs finite."""
+    from wav2vec_contr_loss_tpu.config import BaselineConfig
+    from wav2vec_contr_loss_tpu.train.baseline import BaselineTrainer
+
+    cfg = BaselineConfig(
+        batch_size=8, max_duration_seconds=1, target_sample_rate=2000,
+        input_dim=32, hidden_dim=16, use_rawboost=False,
+        finetune_encoder=True, compute_dtype="float32", seed=0,
+        param_sharding="fsdp",
+    )
+    mesh = make_mesh(devices=np.array(jax.devices()[:2]))
+    tr = BaselineTrainer(cfg, enc_config=TINY_ENC, mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    qk = state.params["encoder"]["layers"]["layer"]["attention"]["q_proj"]["kernel"]
+    assert tuple(qk.sharding.spec)[:1] == ("data",), qk.sharding.spec
+
+    wave, labels = _batch()
+    sh = batch_sharding(mesh)
+    state, metrics = tr.train_step(
+        state,
+        {"waveforms": jax.device_put(wave[:8], sh),
+         "labels": jax.device_put(labels[:8], sh)},
+    )
+    assert np.isfinite(float(metrics["loss"]))

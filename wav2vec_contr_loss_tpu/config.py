@@ -270,6 +270,7 @@ class BaselineConfig:
     softmax_dtype: str = "bfloat16"
     adam_mu_dtype: str = "bfloat16"
     rawboost_fir_impl: str = "fft"
+    param_sharding: str = "replicated"  # | 'fsdp' (see Stage1Config)
 
     def replace(self, **kw) -> "BaselineConfig":
         return dataclasses.replace(self, **kw)

@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "param_sharding_rules",
-           "shard_params"]
+           "shard_params", "shard_opt_state"]
 
 
 def make_mesh(
@@ -167,3 +167,25 @@ def shard_params(params, mesh: Mesh, tensor_parallel: Optional[bool] = None,
             f"count (e.g. 2/4/8/12/24 for a 24-layer encoder) or params "
             f"stay fully replicated.", RuntimeWarning, stacklevel=2)
     return out
+
+
+def shard_opt_state(opt_state, sharded_params, tx, mesh: Mesh):
+    """Re-layout an EXISTING optimizer state to match sharded params.
+
+    Values are preserved (this runs on checkpoint restore too — never
+    re-initialize here); only the placement changes. A jit of `tx.init`
+    over the already-sharded params yields a sharding template via GSPMD
+    propagation; param-independent leaves (e.g. the Adam step count) come
+    out of the template on a single device and are replicated instead."""
+    with mesh:
+        template = jax.jit(tx.init)(sharded_params)
+    mesh_devs = set(mesh.devices.flat)
+    rep = NamedSharding(mesh, P())
+
+    def adopt(t, x):
+        sh = getattr(t, "sharding", None)
+        if sh is not None and set(sh.device_set) == mesh_devs:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(adopt, template, opt_state)

@@ -126,8 +126,27 @@ class BaselineTrainer:
             params=trainable, frozen=frozen, opt_state=self.tx.init(trainable),
             step=jnp.zeros((), jnp.int32), rng=k_run,
         )
+        return self._shard_state(state)
+
+    def _shard_state(self, state: BaselineState) -> BaselineState:
+        """Same layout policy as Stage1Trainer._shard_state: TP specs when
+        the mesh has a model axis, optional ZeRO-3 via param_sharding."""
+        from ..parallel.mesh import shard_opt_state, shard_params
+
+        fsdp = getattr(self.cfg, "param_sharding", "replicated") == "fsdp"
         rep = replicated(self.mesh)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        params = shard_params(state.params, self.mesh, fsdp=fsdp)
+        frozen = shard_params(state.frozen, self.mesh, fsdp=fsdp)
+        if fsdp:
+            opt_state = shard_opt_state(state.opt_state, params, self.tx,
+                                        self.mesh)
+        else:
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), state.opt_state)
+        step, rng = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), (state.step, state.rng))
+        return BaselineState(params=params, frozen=frozen,
+                             opt_state=opt_state, step=step, rng=rng)
 
     def _logits(self, params: Dict, frozen: Dict, wave: jnp.ndarray,
                 train: bool, rng: jax.Array) -> jnp.ndarray:
@@ -279,8 +298,7 @@ class BaselineTrainer:
                 ) -> BaselineState:
         template = jax.tree_util.tree_map(np.asarray, self.init_state())
         state, _ = ckpt.restore_checkpoint(save_dir, name, template)
-        rep = replicated(self.mesh)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        return self._shard_state(state)
 
     @classmethod
     def from_checkpoint(cls, save_dir: str, name: str = "baseline_best",

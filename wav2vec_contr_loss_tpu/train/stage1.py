@@ -212,25 +212,12 @@ class Stage1Trainer:
         params = shard_params(state.params, self.mesh, fsdp=fsdp)
         frozen = shard_params(state.frozen, self.mesh, fsdp=fsdp)
         if fsdp:
-            # Adopt the param layout for mu/nu WITHOUT discarding the
-            # incoming values (this runs on restore() too — re-initializing
-            # here would silently zero a resumed optimizer): jit-init a
-            # sharding template via GSPMD propagation, then device_put the
-            # existing leaves onto the template's shardings.
-            with self.mesh:
-                template = jax.jit(self.tx.init)(params)
-            mesh_devs = set(self.mesh.devices.flat)
+            # re-layout the incoming (possibly checkpoint-restored) mu/nu
+            # values onto the param layout — never re-initialize here
+            from ..parallel.mesh import shard_opt_state
 
-            def adopt(t, x):
-                sh = getattr(t, "sharding", None)
-                # param-independent leaves (e.g. the Adam step count) come
-                # out of the template on one device — replicate those
-                if sh is not None and set(sh.device_set) == mesh_devs:
-                    return jax.device_put(x, sh)
-                return jax.device_put(x, rep)
-
-            opt_state = jax.tree_util.tree_map(
-                adopt, template, state.opt_state)
+            opt_state = shard_opt_state(state.opt_state, params, self.tx,
+                                        self.mesh)
         else:
             opt_state = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, rep), state.opt_state)
