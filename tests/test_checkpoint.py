@@ -55,10 +55,11 @@ def test_crash_mid_save_preserves_previous(tmp_path, monkeypatch):
 
 def test_crash_window_recovery(tmp_path):
     """A crash between the two renames in save_checkpoint leaves a complete
-    copy under 'latest.saving' or 'latest.replaced' but no 'latest';
-    checkpoint_exists/restore must adopt it (review finding r2)."""
+    copy under 'latest.saving' or 'latest.replaced' but no 'latest'.
+    Readers resolve it IN PLACE without renaming (ADVICE r2: a reader
+    racing the writer's swap must never mutate the dir); the next
+    writer-side save adopts and cleans up."""
     import os
-    import shutil
 
     from wav2vec_contr_loss_tpu.train import checkpoint as ck
 
@@ -69,19 +70,31 @@ def test_crash_window_recovery(tmp_path):
 
     # crash flavor 1: new state written, old displaced, final rename lost
     os.rename(path, path + ".saving")
-    assert ck.checkpoint_exists(d, "latest")      # recovered from .saving
-    got, _ = ck.restore_checkpoint(d, "latest", target=state)
+    os.rename(path + ".config.json", path + ".saving.config.json")
+    assert ck.checkpoint_exists(d, "latest")      # resolved from .saving
+    got, sidecar = ck.restore_checkpoint(d, "latest", target=state)
     np.testing.assert_array_equal(got["w"], state["w"])
+    # the staged sidecar travels with the state (ADVICE r2 #3): no stale
+    # config pairing
+    assert sidecar["config"] == {"A": 1}
+    # readers never renamed anything
+    assert os.path.isdir(path + ".saving") and not os.path.exists(path)
 
     # crash flavor 2: only the displaced previous copy survives
-    os.rename(path, path + ".replaced")
-    assert ck.checkpoint_exists(d, "latest")      # recovered from .replaced
+    os.rename(path + ".saving", path + ".replaced")
+    os.rename(path + ".saving.config.json", path + ".replaced.config.json")
+    assert ck.checkpoint_exists(d, "latest")      # resolved from .replaced
     got, _ = ck.restore_checkpoint(d, "latest", target=state)
     np.testing.assert_array_equal(got["w"], state["w"])
 
-    # a further save still works and cleans up
+    # writer-side: the next save adopts the stranded copy and cleans up
+    os.rename(path + ".replaced", path + ".saving")
+    os.rename(path + ".replaced.config.json", path + ".saving.config.json")
     ck.save_checkpoint(d, "latest", {"w": state["w"] + 1}, config={"A": 2})
-    got, _ = ck.restore_checkpoint(d, "latest", target=state)
+    got, sidecar = ck.restore_checkpoint(d, "latest", target=state)
     np.testing.assert_array_equal(got["w"], state["w"] + 1)
+    assert sidecar["config"] == {"A": 2}
     assert not os.path.exists(path + ".saving")
     assert not os.path.exists(path + ".replaced")
+    assert not os.path.exists(path + ".saving.config.json")
+    assert not os.path.exists(path + ".replaced.config.json")

@@ -296,7 +296,10 @@ class BaselineTrainer:
 
     def restore(self, save_dir: str, name: str = "baseline_best"
                 ) -> BaselineState:
-        template = jax.tree_util.tree_map(np.asarray, self.init_state())
+        # abstract template (ADVICE r2): works for fsdp process-sharded init
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            self.init_state())
         state, _ = ckpt.restore_checkpoint(save_dir, name, template)
         return self._shard_state(state)
 

@@ -10,6 +10,14 @@ back by extract_stage1_embeddings.py:121-125).
 Layout:  <dir>/<name>/   (orbax pytree)  +  <dir>/<name>.config.json
 `keep_best` + `latest` naming mirrors the reference's best-by-dev-metric
 policy while always retaining a resumable latest.
+
+Multi-process semantics (ADVICE r2): every process participates in the
+host fetch (`_host_tree` all-gathers process-sharded leaves — a collective),
+but only process 0 touches the filesystem; a named barrier keeps processes
+in step so no reader races the swap. Crash recovery (`_recover`) runs only
+on the writer side — readers resolve a stranded `.saving`/`.replaced` copy
+without renaming anything, so a polling eval process can never yank a
+directory out from under an in-flight save.
 """
 
 from __future__ import annotations
@@ -39,7 +47,31 @@ def _checkpointer():
 
 
 def _host_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Fetch a state tree to host memory on every process.
+
+    Leaves sharded across processes (fsdp over a multi-host 'data' axis)
+    are not fully addressable — `np.asarray` on them raises. Those leaves
+    are materialized via `process_allgather` (a collective: ALL processes
+    must call `_host_tree`, even the ones that won't write)."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _barrier(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
 
 
 def _remove(path: str) -> None:
@@ -50,55 +82,85 @@ def _remove(path: str) -> None:
         shutil.rmtree(path)
 
 
+def _rename_with_sidecar(src: str, dst: str) -> None:
+    os.rename(src, dst)
+    if os.path.exists(src + ".config.json"):
+        os.replace(src + ".config.json", dst + ".config.json")
+
+
 def _recover(path: str) -> None:
-    """Close the rename window: a crash between `os.rename(path, old)` and
-    `os.rename(tmp, path)` leaves no `path` but one or two complete copies
-    under the sibling names. Orbax commits its own writes atomically (an
-    interrupted save leaves a `*.orbax-checkpoint-tmp-*` dir, never the
-    plain `.saving` name), so a directory at `.saving` is a complete NEW
-    state — prefer it; `.replaced` is the complete previous state."""
+    """WRITER-SIDE ONLY. Close the rename window: a crash between
+    `os.rename(path, old)` and `os.rename(tmp, path)` leaves no `path` but
+    one or two complete copies under the sibling names. Orbax commits its
+    own writes atomically (an interrupted save leaves a
+    `*.orbax-checkpoint-tmp-*` dir, never the plain `.saving` name), so a
+    directory at `.saving` is a complete NEW state — prefer it; `.replaced`
+    is the complete previous state. The matching sidecar (staged next to
+    the state since ADVICE r2 fix #3) is adopted in the same rename, so a
+    recovered checkpoint never pairs new params with a stale config."""
     if os.path.exists(path):
         return
     tmp, old = path + ".saving", path + ".replaced"
     if os.path.isdir(tmp) and not os.path.islink(tmp):
-        os.rename(tmp, path)
+        _rename_with_sidecar(tmp, path)
     elif os.path.isdir(old) and not os.path.islink(old):
-        os.rename(old, path)
+        _rename_with_sidecar(old, path)
+
+
+def _resolve_readable(path: str) -> Optional[str]:
+    """READER-SIDE crash-window fallback: never renames. Returns the best
+    complete copy of the checkpoint (`path` itself, else the stranded
+    `.saving` new state, else the `.replaced` previous state), or None."""
+    for cand in (path, path + ".saving", path + ".replaced"):
+        if os.path.isdir(cand):
+            return cand
+    return None
 
 
 def save_checkpoint(directory: str, name: str, state: Any,
                     config: Optional[Dict] = None,
                     metrics: Optional[Dict] = None,
                     extra: Optional[Dict] = None) -> str:
-    """Write <directory>/<name>, crash-safe: the new state is fully written
-    to a temp sibling before the previous checkpoint is touched, so a crash
-    mid-save never destroys the existing 'latest'/'best'.
+    """Write <directory>/<name>, crash-safe: the new state AND its sidecar
+    are fully written to temp siblings before the previous checkpoint is
+    touched, so a crash mid-save never destroys the existing
+    'latest'/'best' and never splits a state from its config.
+
+    Collective under multi-process: every process must call this (the
+    host fetch all-gathers sharded leaves), but only process 0 writes.
 
     `config` is the reference-parity UPPERCASE dict; `extra` carries
     framework-side reload data (e.g. the encoder architecture dict)."""
-    os.makedirs(directory, exist_ok=True)
+    host_state = _host_tree(state)  # collective — before the process gate
     path = os.path.abspath(os.path.join(directory, name))
-    tmp = path + ".saving"
-    old = path + ".replaced"
-    _recover(path)  # adopt a complete copy stranded by a mid-swap crash
-    for stale in (tmp, old):
-        _remove(stale)
-    c = _checkpointer()
-    c.save(tmp, _host_tree(state))
-    c.wait_until_finished()  # StandardCheckpointer saves asynchronously
-    if os.path.islink(path):  # was an alias (dev-less run): drop the link
-        os.remove(path)
-    elif os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    sidecar = {"config": config or {}, "metrics": metrics or {},
-               "extra": extra or {}}
-    sidecar_tmp = path + ".config.json.tmp"
-    with open(sidecar_tmp, "w") as f:
-        json.dump(sidecar, f, indent=2, default=str)
-    os.replace(sidecar_tmp, path + ".config.json")
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    if _is_primary():
+        os.makedirs(directory, exist_ok=True)
+        tmp = path + ".saving"
+        old = path + ".replaced"
+        _recover(path)  # adopt a complete copy stranded by a mid-swap crash
+        for stale in (tmp, old):
+            _remove(stale)
+            _remove(stale + ".config.json")
+        c = _checkpointer()
+        c.save(tmp, host_state)
+        c.wait_until_finished()  # StandardCheckpointer saves asynchronously
+        # stage the sidecar NEXT TO the temp state so the swap (and any
+        # crash recovery of it) moves them together
+        sidecar = {"config": config or {}, "metrics": metrics or {},
+                   "extra": extra or {}}
+        with open(tmp + ".config.json", "w") as f:
+            json.dump(sidecar, f, indent=2, default=str)
+        if os.path.islink(path):  # was an alias (dev-less run): drop the link
+            os.remove(path)
+            if os.path.islink(path + ".config.json"):
+                os.remove(path + ".config.json")
+        elif os.path.exists(path):
+            _rename_with_sidecar(path, old)
+        _rename_with_sidecar(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+            _remove(old + ".config.json")
+    _barrier(f"ckpt-save:{name}")
     return path
 
 
@@ -107,42 +169,58 @@ def alias_checkpoint(directory: str, name: str, target: str) -> str:
 
     Used by dev-less training runs where no best-metric exists: 'best'
     tracks 'latest' without writing the state twice per epoch. Falls back
-    to a real copy if the filesystem refuses symlinks."""
+    to a real copy if the filesystem refuses symlinks. Process-0 only."""
     path = os.path.abspath(os.path.join(directory, name))
-    for suffix in ("", ".config.json"):
-        dst = path + suffix
-        src = target + suffix  # relative link inside the directory
-        _remove(dst)
-        try:
-            os.symlink(src, dst)
-        except OSError:
-            full_src = os.path.join(directory, src)
-            if os.path.isdir(full_src):
-                shutil.copytree(full_src, dst)
-            elif os.path.exists(full_src):
-                shutil.copyfile(full_src, dst)
+    if _is_primary():
+        for suffix in ("", ".config.json"):
+            dst = path + suffix
+            src = target + suffix  # relative link inside the directory
+            _remove(dst)
+            try:
+                os.symlink(src, dst)
+            except OSError:
+                full_src = os.path.join(directory, src)
+                if os.path.isdir(full_src):
+                    shutil.copytree(full_src, dst)
+                elif os.path.exists(full_src):
+                    shutil.copyfile(full_src, dst)
+    _barrier(f"ckpt-alias:{name}")
     return path
+
+
+def _read_sidecar(resolved: str, path: str) -> Dict:
+    """Sidecar for a resolved state dir: its own staged sidecar when
+    present (`<resolved>.config.json`), else the canonical one (covers
+    pre-staging checkpoints where `.saving` had no sidecar sibling)."""
+    for cand in (resolved + ".config.json", path + ".config.json"):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                return json.load(f)
+    return {}
 
 
 def restore_checkpoint(directory: str, name: str,
                        target: Optional[Any] = None) -> Tuple[Any, Dict]:
-    """-> (state, sidecar dict). Pass `target` (a matching abstract/conc
-    pytree) for safe typed restoration."""
+    """-> (state, sidecar dict). Pass `target` (a matching abstract —
+    jax.ShapeDtypeStruct — or concrete pytree) for safe typed restoration.
+    Read-only: a stranded crash-window copy is read in place, never
+    renamed (recovery happens on the next writer-side save)."""
     path = os.path.abspath(os.path.join(directory, name))
-    _recover(path)
-    state = _checkpointer().restore(path, target) if target is not None else (
-        _checkpointer().restore(path)
-    )
-    sidecar = {}
-    if os.path.exists(path + ".config.json"):
-        with open(path + ".config.json") as f:
-            sidecar = json.load(f)
-    return state, sidecar
+    resolved = _resolve_readable(path)
+    if resolved is None:
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    state = _checkpointer().restore(resolved, target) if target is not None \
+        else _checkpointer().restore(resolved)
+    return state, _read_sidecar(resolved, path)
 
 
 def load_sidecar(directory: str, name: str) -> Dict:
-    with open(os.path.join(directory, name + ".config.json")) as f:
-        return json.load(f)
+    path = os.path.abspath(os.path.join(directory, name))
+    resolved = _resolve_readable(path) or path
+    sidecar = _read_sidecar(resolved, path)
+    if not sidecar:
+        raise FileNotFoundError(path + ".config.json")
+    return sidecar
 
 
 def load_config(directory: str, name: str) -> Dict:
@@ -151,5 +229,4 @@ def load_config(directory: str, name: str) -> Dict:
 
 def checkpoint_exists(directory: str, name: str) -> bool:
     path = os.path.abspath(os.path.join(directory, name))
-    _recover(path)
-    return os.path.isdir(path)
+    return _resolve_readable(path) is not None

@@ -555,7 +555,12 @@ class Stage1Trainer:
         }
 
     def restore(self, save_dir: str, name: str = "best") -> Stage1State:
-        template = jax.tree_util.tree_map(np.asarray, self.init_state())
+        # abstract template (ADVICE r2): shape/dtype are global metadata, so
+        # this works even when init_state() came back fsdp-sharded across
+        # processes (np.asarray on a non-addressable array would raise)
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            self.init_state())
         state, _ = ckpt.restore_checkpoint(save_dir, name, template)
         return self._shard_state(state)
 

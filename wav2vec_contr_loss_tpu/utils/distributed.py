@@ -17,20 +17,33 @@ activated).
 from __future__ import annotations
 
 import os
+import sys
 
 __all__ = ["maybe_initialize", "add_multihost_arg", "init_from_args"]
 
-# Environment markers that indicate a multi-host launch. The first two are
-# JAX's own coordinator plumbing; the TPU_* pair appear on Cloud TPU pod
-# slices (one process per host).
-_MARKERS = (
+# Environment markers that directly carry a coordinator address — their mere
+# presence means some launcher wired up a multi-process run.
+_COORDINATOR_MARKERS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
-    "TPU_WORKER_HOSTNAMES",
     "MEGASCALE_COORDINATOR_ADDRESS",
 )
 
 _initialized = False
+
+
+def _pod_hostnames_detected() -> bool:
+    """True only when TPU_WORKER_HOSTNAMES names >= 2 distinct hosts.
+
+    Cloud TPU pod slices export a comma-separated host list; a single-host
+    container may export `TPU_WORKER_HOSTNAMES=localhost` (observed in the
+    canonical bench environment), which must NOT trigger a distributed
+    init — jax.distributed.initialize() without a coordinator address
+    raises and would kill every CLI at startup.
+    """
+    raw = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    hosts = {h.strip() for h in raw.split(",") if h.strip()}
+    return len(hosts) >= 2
 
 
 def maybe_initialize(force: bool = False) -> bool:
@@ -40,7 +53,9 @@ def maybe_initialize(force: bool = False) -> bool:
     global _initialized
     if _initialized:
         return True
-    if not force and not any(os.environ.get(k) for k in _MARKERS):
+    auto = any(os.environ.get(k) for k in _COORDINATOR_MARKERS) or \
+        _pod_hostnames_detected()
+    if not force and not auto:
         return False
 
     import jax
@@ -56,7 +71,23 @@ def maybe_initialize(force: bool = False) -> bool:
         # jax raises "distributed.initialize should only be called once."
         msg = str(e).lower()
         if "once" not in msg and "already" not in msg:
+            if force:
+                raise
+            print(f"[distributed] auto-detected pod env but "
+                  f"jax.distributed.initialize() failed ({e}); continuing "
+                  f"single-host", file=sys.stderr)
+            return False
+    except ValueError as e:
+        # e.g. "coordinator_address should be defined" — the env looked like
+        # a pod but JAX's own ClusterEnv found no cluster. An explicit
+        # --multihost 1 is a user error worth surfacing; auto-detection
+        # falls back to single-host so the CLIs keep working.
+        if force:
             raise
+        print(f"[distributed] auto-detected pod env but "
+              f"jax.distributed.initialize() failed ({e}); continuing "
+              f"single-host", file=sys.stderr)
+        return False
     _initialized = True
     return True
 
