@@ -63,6 +63,10 @@ def main(argv=None) -> None:
     ap.add_argument("--scan_unroll", type=int, default=None,
                     help="encoder layer-scan unroll factor (default 24)")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch_size", type=int, default=32,
+                    help="32 = the reference parity recipe; other values "
+                         "are capability rows (e.g. 64 probes whether bs=32 "
+                         "is the binding throughput constraint)")
     args = ap.parse_args(argv)
 
     import jax  # noqa: F401  (backend selected before any device use)
@@ -77,7 +81,7 @@ def main(argv=None) -> None:
     from wav2vec_contr_loss_tpu.models.wav2vec2 import XLSR_300M
     from wav2vec_contr_loss_tpu.train import Stage1Trainer
 
-    batch_size = 32
+    batch_size = args.batch_size
     cfg = Stage1Config(
         batch_size=batch_size,
         finetune_encoder=(args.mode == "finetune"),
@@ -152,6 +156,8 @@ def main(argv=None) -> None:
     value = clips_per_sec / n_chips
     metric = f"stage1_supcon_{args.mode}_train_throughput"
     suffix = "" if args.attention == "xla" else f"_attn_{args.attention}"
+    if batch_size != 32:
+        suffix += f"_bs{batch_size}"
     print(json.dumps({
         "metric": metric + suffix,
         "value": round(value, 2),

@@ -1,10 +1,23 @@
 """Driver contract tests: __graft_entry__.entry traces on the flagship
 model shapes, and dryrun_multichip runs a real dp+tp train step on the
-8-device CPU mesh."""
+8-device CPU mesh.
 
+The real 2-process gang leg of dryrun (several minutes of fresh-interpreter
+compiles) is skipped throughout this file via GRAFT_DRYRUN_2PROC=0 — it has
+its own dedicated suite, tests/test_multiprocess.py; these tests cover the
+provisioning/respawn mechanics around it."""
+
+import os
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(autouse=True)
+def _skip_two_proc_leg(monkeypatch):
+    monkeypatch.setenv("GRAFT_DRYRUN_2PROC", "0")
 
 
 def test_dryrun_multichip_8(capsys):
@@ -13,6 +26,7 @@ def test_dryrun_multichip_8(capsys):
     ge.dryrun_multichip(8)
     out = capsys.readouterr().out
     assert "OK" in out and "mesh=(4x2)" in out
+    assert "2-proc(skipped)" in out
 
 
 def test_dryrun_multichip_odd():

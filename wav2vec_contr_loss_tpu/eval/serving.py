@@ -70,10 +70,16 @@ class SpoofScorer:
 
     def score_dataset(self, pipe: BatchPipeline
                       ) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (logits, labels) in dataset order, static batch shapes."""
+        """-> (logits, labels) in dataset order, static batch shapes.
+        H2D / compute / D2H overlapped (VERDICT r2 weak #5)."""
+        from ..data.pipeline import stream_through_device
+
         logits, labels = [], []
-        for b in pipe.sequential():
-            lg = self.score_waveforms(b.waveforms)
+        for lg, b in stream_through_device(
+            pipe.sequential(),
+            lambda b: jax.device_put(b.waveforms.astype(np.float32)),
+            self._score,
+        ):
             logits.append(lg[b.valid])
             labels.append(b.labels[b.valid])
         return np.concatenate(logits), np.concatenate(labels)

@@ -13,18 +13,23 @@ Here the torch state dict is mapped onto our flax parameter tree:
     the scanned layer stack (models/wav2vec2.py).
 
 Works from (a) an in-memory torch state dict (tests use a random small HF
-model) or (b) a pretrained HF model name when network/cache is available.
+model), (b) a pretrained HF model name when network/cache is available, or
+(c) a locally dropped snapshot dir / weights file with NO network
+(`load_local_hf_checkpoint`, surfaced as cli.convert_hf_checkpoint).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Mapping
 
 import numpy as np
 
-from .wav2vec2 import Wav2Vec2Config
+from .wav2vec2 import Wav2Vec2Config, config_from_dict, config_to_dict
 
-__all__ = ["convert_hf_state_dict", "config_from_hf", "load_pretrained"]
+__all__ = ["convert_hf_state_dict", "config_from_hf", "load_pretrained",
+           "load_local_hf_checkpoint", "save_encoder_init",
+           "load_encoder_init"]
 
 
 def _np(t) -> np.ndarray:
@@ -177,10 +182,113 @@ def config_from_hf(hf_config) -> Wav2Vec2Config:
 
 def load_pretrained(model_name: str):
     """(config, params) from a pretrained HF checkpoint. Needs the HF cache
-    or network access; in air-gapped environments initialize randomly or
-    convert a checkpoint offline."""
+    or network access; in air-gapped environments use
+    `load_local_hf_checkpoint` / cli.convert_hf_checkpoint on a dropped
+    snapshot directory instead."""
     from transformers import Wav2Vec2Model
 
     model = Wav2Vec2Model.from_pretrained(model_name)
     cfg = config_from_hf(model.config)
     return cfg, convert_hf_state_dict(model.state_dict(), cfg)
+
+
+def _read_weight_file(path: str) -> Dict:
+    """One weights file -> {name: np.ndarray}. Supports safetensors and
+    torch pickle (.bin/.pt), both loaded host-side (no GPU/torch device)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def load_local_hf_checkpoint(src: str):
+    """(config, params) from a LOCALLY dropped HF checkpoint — no network.
+
+    `src` may be:
+      * an HF snapshot directory (config.json + model.safetensors /
+        pytorch_model.bin, sharded *.index.json supported), e.g. the
+        result of `save_pretrained` or a manually copied hub snapshot;
+      * a single .safetensors / .bin / .pt weights file with config.json
+        beside it.
+
+    This is the offline ingestion leg for the air-gapped environment: the
+    reference loads `Wav2Vec2Model.from_pretrained` over the network
+    (reference: encoder.py:21); here a file drop plus
+    cli.convert_hf_checkpoint yields persisted Orbax params with zero
+    code between "weights appear" and training/verify_parity."""
+    import json as _json
+
+    if os.path.isdir(src):
+        d = src
+        weight_files: list = []
+        for index in ("model.safetensors.index.json",
+                      "pytorch_model.bin.index.json"):
+            ip = os.path.join(d, index)
+            if os.path.exists(ip):
+                with open(ip) as f:
+                    shard_names = sorted(set(
+                        _json.load(f)["weight_map"].values()))
+                weight_files = [os.path.join(d, s) for s in shard_names]
+                break
+        if not weight_files:
+            for cand in ("model.safetensors", "pytorch_model.bin",
+                         "pytorch_model.pt"):
+                cp = os.path.join(d, cand)
+                if os.path.exists(cp):
+                    weight_files = [cp]
+                    break
+        if not weight_files:
+            raise FileNotFoundError(
+                f"no weights (model.safetensors / pytorch_model.bin / "
+                f"*.index.json) under {d}")
+    else:
+        d = os.path.dirname(os.path.abspath(src))
+        weight_files = [src]
+
+    config_path = os.path.join(d, "config.json")
+    if not os.path.exists(config_path):
+        raise FileNotFoundError(f"no config.json beside weights: {config_path}")
+    from transformers import Wav2Vec2Config as HFConfig
+
+    with open(config_path) as f:
+        hf_cfg = HFConfig.from_dict(_json.load(f))
+    sd: Dict = {}
+    for wf in weight_files:
+        sd.update(_read_weight_file(wf))
+    cfg = config_from_hf(hf_cfg)
+    return cfg, convert_hf_state_dict(sd, cfg)
+
+
+def save_encoder_init(out_dir: str, config: Wav2Vec2Config, params: Dict,
+                      name: str = "encoder", source: str = "") -> str:
+    """Persist converted encoder params as an Orbax checkpoint the CLIs
+    can consume via `--encoder_init <out_dir>`."""
+    from ..train import checkpoint as ckpt
+
+    return ckpt.save_checkpoint(
+        out_dir, name, params,
+        extra={"enc_config": config_to_dict(config), "source": source},
+    )
+
+
+def load_encoder_init(path: str):
+    """(config, params) from a directory written by `save_encoder_init`.
+
+    Accepts the out_dir itself (containing the 'encoder' checkpoint) or a
+    direct <dir>/<name> checkpoint path."""
+    from ..train import checkpoint as ckpt
+
+    path = os.path.abspath(path)
+    if ckpt.checkpoint_exists(path, "encoder"):
+        directory, name = path, "encoder"
+    else:
+        directory, name = os.path.dirname(path), os.path.basename(path)
+        if not ckpt.checkpoint_exists(directory, name):
+            raise FileNotFoundError(f"no encoder checkpoint at {path}")
+    params, sidecar = ckpt.restore_checkpoint(directory, name)
+    cfg = config_from_dict(sidecar["extra"]["enc_config"])
+    return cfg, params

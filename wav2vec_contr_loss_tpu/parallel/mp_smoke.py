@@ -1,0 +1,170 @@
+"""Real multi-process SPMD smoke run (CPU, Gloo collectives).
+
+Round-2 review finding: every multi-host claim in this repo rested on
+single-process *simulation* — `jax.process_count() > 1` branches
+(`train/stage1.py::_device_batches`, `parallel/mesh.py:76-79`, the
+collective checkpoint path) had never executed with two real processes.
+This module is the executable claim: the SAME tiny stage-1 training job
+(global balanced sampler -> per-process batch slice ->
+`make_array_from_process_local_data` -> fsdp+tp sharded train steps ->
+collective Orbax checkpoint) run either single-process over 8 local
+devices or as N real `jax.distributed` processes each owning 8/N of them.
+Losses and final parameters must match across the two launch shapes.
+
+Replaces for real what the reference's dead DDP scaffolding intended
+(reference: stage1_utils.py:156-172 — init_process_group code that was
+never activated).
+
+Driven by tests/test_multiprocess.py (subprocess fixture) and the
+optional 2-proc leg of `__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+
+N_DEVICES = 8           # global devices in every launch shape
+N_MODEL = 2             # tensor-parallel width -> mesh (4, 2)
+BATCH = 8
+N_CLIPS = 16
+SR, SECONDS = 4000, 1   # 4000 samples -> 99 frames
+EPOCHS = 2              # 16 clips / batch 8 -> 2 steps/epoch -> 4 steps
+
+
+def _corpus():
+    """Deterministic synthetic corpus, identical in every process."""
+    rng = np.random.default_rng(0)
+    wave = rng.normal(0, 0.2, (N_CLIPS, SR * SECONDS)).astype(np.float32)
+    labels = np.array([1, 0] * (N_CLIPS // 2), np.int32)
+    return wave, labels
+
+
+def run_smoke(ckpt_dir: Optional[str] = None) -> Dict:
+    """Run the smoke job on whatever process topology is already live.
+
+    Caller is responsible for platform setup (CPU devices and, for the
+    multi-process shape, `jax.distributed.initialize`). Returns
+    {"process_count", "losses", "param_sum", "param_l1"}; all collective
+    paths (batch assembly, train step, checkpoint save) execute on every
+    process.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import Stage1Config
+    from ..data.pipeline import Batch
+    from ..data.sampler import BalancedBatchSampler
+    from ..models.wav2vec2 import Wav2Vec2Config
+    from ..train.stage1 import Stage1Trainer
+    from .mesh import make_mesh
+
+    if jax.device_count() < N_DEVICES:
+        raise RuntimeError(
+            f"need {N_DEVICES} global devices, have {jax.device_count()}"
+        )
+    mesh = make_mesh(n_model=N_MODEL, devices=jax.devices()[:N_DEVICES])
+
+    # 4 layers so the scan-stacked layer axis tiles the 4-wide 'data' axis
+    # (fsdp/ZeRO-3 actually shards, incl. ACROSS the two processes)
+    enc_cfg = Wav2Vec2Config(
+        hidden_size=64, num_layers=4, num_heads=4, intermediate_size=128,
+        conv_dim=(32, 32), conv_kernel=(10, 3), conv_stride=(5, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        dtype=jnp.float32, apply_spec_augment=False,
+    )
+    cfg = Stage1Config(
+        batch_size=BATCH, max_duration_seconds=SECONDS,
+        target_sample_rate=SR, input_dim=64, hidden_dim=16,
+        finetune_encoder=True, use_rawboost=True, rawboost_mode="device",
+        rawboost_prob=1.0, compute_dtype="float32", seed=0,
+        param_sharding="fsdp",
+    )
+    trainer = Stage1Trainer(cfg, enc_config=enc_cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    wave, labels = _corpus()
+    sampler = BalancedBatchSampler(labels, BATCH, seed=0, mode="global")
+
+    def batches():
+        for epoch in range(1, EPOCHS + 1):
+            for idx in sampler.epoch_batches(epoch):
+                yield Batch(
+                    waveforms=wave[idx], labels=labels[idx],
+                    multi_labels=labels[idx],
+                    valid=np.ones(len(idx), bool),
+                )
+
+    losses: List[float] = []
+    alpha = jnp.zeros((), jnp.float32)
+    # _device_batches is the under-test path: n_proc > 1 slices each
+    # global balanced batch by jax.process_index() and reassembles via
+    # make_array_from_process_local_data (parallel/mesh.py:62-79)
+    for dev_batch in trainer._device_batches(batches()):
+        state, metrics = trainer.train_step(state, dev_batch, alpha)
+        losses.append(float(metrics["loss"]))
+
+    from ..train import checkpoint as ckpt
+
+    host_params = ckpt._host_tree(state.params)  # collective for fsdp leaves
+    leaves = jax.tree_util.tree_leaves(host_params)
+    param_sum = float(sum(np.sum(x, dtype=np.float64) for x in leaves))
+    param_l1 = float(sum(np.sum(np.abs(x), dtype=np.float64) for x in leaves))
+
+    if ckpt_dir is not None:
+        # collective multi-process save (all procs enter; proc 0 swaps)
+        ckpt.save_checkpoint(ckpt_dir, "smoke", state.params,
+                             config={"SMOKE": 1},
+                             metrics={"final_loss": losses[-1]})
+
+    return {
+        "process_count": int(jax.process_count()),
+        "losses": losses,
+        "param_sum": param_sum,
+        "param_l1": param_l1,
+    }
+
+
+def main(argv=None) -> None:
+    """Worker entry: set up the platform/topology, run, dump JSON.
+
+    Invoked as one process of an N-process gang:
+      python -m wav2vec_contr_loss_tpu.parallel.mp_smoke \
+          --num_processes 2 --process_id 0 --port 12345 --out r.json
+    Each process provisions 8/N local CPU devices so the global device
+    count matches the single-process shape exactly.
+    """
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_processes", type=int, required=True)
+    p.add_argument("--process_id", type=int, required=True)
+    p.add_argument("--port", type=int, required=True)
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--ckpt_dir", type=str, default=None)
+    args = p.parse_args(argv)
+
+    import jax
+
+    # must win before any backend init (the shell env pins axon)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", N_DEVICES // args.num_processes)
+    if args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{args.port}",
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    result = run_smoke(ckpt_dir=args.ckpt_dir)
+    if args.out:
+        with open(f"{args.out}.p{args.process_id}", "w") as f:
+            json.dump(result, f)
+    print(f"[mp_smoke] p{args.process_id}/{args.num_processes} "
+          f"losses={['%.6f' % x for x in result['losses']]} "
+          f"param_l1={result['param_l1']:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

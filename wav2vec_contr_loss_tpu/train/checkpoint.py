@@ -54,11 +54,12 @@ def _host_tree(tree):
     are materialized via `process_allgather` (a collective: ALL processes
     must call `_host_tree`, even the ones that won't write)."""
     def fetch(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if isinstance(x, jax.Array) and not x.is_fully_addressable \
+                and not x.is_fully_replicated:
             from jax.experimental import multihost_utils
 
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        return np.asarray(x)
+        return np.asarray(x)  # addressable or fully-replicated: direct fetch
 
     return jax.tree_util.tree_map(fetch, tree)
 
@@ -126,24 +127,31 @@ def save_checkpoint(directory: str, name: str, state: Any,
     touched, so a crash mid-save never destroys the existing
     'latest'/'best' and never splits a state from its config.
 
-    Collective under multi-process: every process must call this (the
-    host fetch all-gathers sharded leaves), but only process 0 writes.
+    Collective under multi-process: every process must call this. The host
+    fetch all-gathers process-sharded leaves, and the Orbax `save` is
+    ITSELF a multihost collective (AsyncCheckpointer syncs global processes
+    internally — calling it on process 0 only mismatches its barrier names,
+    found by the real 2-process smoke run, tests/test_multiprocess.py).
+    Only process 0 touches the swap/cleanup filesystem state; Orbax's own
+    primary-host logic keeps non-primary processes from writing array data.
 
     `config` is the reference-parity UPPERCASE dict; `extra` carries
     framework-side reload data (e.g. the encoder architecture dict)."""
-    host_state = _host_tree(state)  # collective — before the process gate
+    host_state = _host_tree(state)  # collective — before any process gate
     path = os.path.abspath(os.path.join(directory, name))
+    tmp = path + ".saving"
+    old = path + ".replaced"
     if _is_primary():
         os.makedirs(directory, exist_ok=True)
-        tmp = path + ".saving"
-        old = path + ".replaced"
         _recover(path)  # adopt a complete copy stranded by a mid-swap crash
         for stale in (tmp, old):
             _remove(stale)
             _remove(stale + ".config.json")
-        c = _checkpointer()
-        c.save(tmp, host_state)
-        c.wait_until_finished()  # StandardCheckpointer saves asynchronously
+    _barrier(f"ckpt-clean:{name}")  # cleanup done before anyone enters save
+    c = _checkpointer()
+    c.save(tmp, host_state)  # collective: every process must enter
+    c.wait_until_finished()  # StandardCheckpointer saves asynchronously
+    if _is_primary():
         # stage the sidecar NEXT TO the temp state so the swap (and any
         # crash recovery of it) moves them together
         sidecar = {"config": config or {}, "metrics": metrics or {},
@@ -204,7 +212,13 @@ def restore_checkpoint(directory: str, name: str,
     """-> (state, sidecar dict). Pass `target` (a matching abstract —
     jax.ShapeDtypeStruct — or concrete pytree) for safe typed restoration.
     Read-only: a stranded crash-window copy is read in place, never
-    renamed (recovery happens on the next writer-side save)."""
+    renamed (recovery happens on the next writer-side save).
+
+    Collective under multi-process: Orbax `restore` syncs global processes
+    internally (orbax checkpointer.py:310), so in a job with
+    `jax.process_count() > 1` EVERY process must call this — which the
+    trainers do; a lone polling reader must run as its own single-process
+    job (e.g. eval/serving.py)."""
     path = os.path.abspath(os.path.join(directory, name))
     resolved = _resolve_readable(path)
     if resolved is None:
