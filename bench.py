@@ -51,6 +51,8 @@ def main(argv=None) -> None:
                     default=None)
     ap.add_argument("--adam_mu_dtype", choices=["float32", "bfloat16"],
                     default=None)
+    ap.add_argument("--adam_nu_dtype", choices=["float32", "bfloat16"],
+                    default=None)
     ap.add_argument("--attention_layout", choices=["bhqk", "bqhk"],
                     default=None)
     ap.add_argument("--freeze_fx", action="store_true",
@@ -63,6 +65,9 @@ def main(argv=None) -> None:
     ap.add_argument("--scan_unroll", type=int, default=None,
                     help="encoder layer-scan unroll factor (default 24)")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--remat_conv", action="store_true",
+                    help="recompute conv-extractor activations in the bwd "
+                         "(frees the ~2G HBM margin the bs=64 row needs)")
     ap.add_argument("--batch_size", type=int, default=32,
                     help="32 = the reference parity recipe; other values "
                          "are capability rows (e.g. 64 probes whether bs=32 "
@@ -98,6 +103,7 @@ def main(argv=None) -> None:
            (("softmax_dtype", args.softmax_dtype),
             ("layer_mean_dtype", args.layer_mean_dtype),
             ("adam_mu_dtype", args.adam_mu_dtype),
+            ("adam_nu_dtype", args.adam_nu_dtype),
             ("attention_layout", args.attention_layout),
             ("rawboost_fir_impl", args.fir),
             ("conv_ln_impl", args.conv_ln),
@@ -105,6 +111,8 @@ def main(argv=None) -> None:
     )
     if args.freeze_fx:
         cfg = cfg.replace(freeze_feature_extractor=True)
+    if args.remat_conv:
+        cfg = cfg.replace(remat_conv=True)
     if args.remat == "off":
         cfg = cfg.replace(remat_encoder=False)
     elif args.remat != "default":

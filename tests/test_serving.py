@@ -68,3 +68,18 @@ def test_bench_serving_smoke(capsys):
     s = json.dumps(out)  # must be JSON-clean
     assert "serving_p50_ms" in s
     assert out["serving_clips_per_sec"] > 0
+
+
+def test_bench_extract_smoke():
+    """The B=32-class extraction bench (overlapped stream path) runs
+    end-to-end on the tiny model and emits JSON-clean numbers (r3,
+    VERDICT r2 ask #6)."""
+    import json
+
+    from wav2vec_contr_loss_tpu.cli.bench_components import bench_extract
+
+    out = bench_extract(batch=4, seconds=1, n_batches=3, model="tiny")
+    s = json.dumps(out)
+    assert "extract_clips_per_sec" in s
+    assert out["extract_clips_per_sec"] > 0
+    assert out["extract_batch"] == 4

@@ -135,6 +135,72 @@ def bench_supcon(batch: int = 256, dim: int = 256, repeats: int = 50) -> dict:
     return out
 
 
+def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
+                  model: str = "xlsr") -> dict:
+    """Embedding-extraction throughput at a production batch size through
+    the overlapped H2D/compute/D2H path (stream_through_device) — the
+    longest leg of the 153k-clip pipeline after training
+    (reference: extract_stage1_embeddings.py:168-360). Replaces the r1
+    B=4 330 clips/s figure (VERDICT r2 ask #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import Stage1Config
+    from ..data.pipeline import Batch, stream_through_device
+    from ..models.wav2vec2 import XLSR_300M, Wav2Vec2Config
+    from ..train import Stage1Trainer
+
+    if model == "xlsr":
+        enc_cfg, input_dim = XLSR_300M, 1024
+    else:
+        enc_cfg = Wav2Vec2Config(
+            hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+            conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            apply_spec_augment=False)
+        input_dim = 32
+    # forward-only graph: rolled scan, no remat (same choice as serving)
+    cfg = Stage1Config(batch_size=batch, finetune_encoder=False,
+                       use_rawboost=False, input_dim=input_dim,
+                       max_duration_seconds=seconds, scan_unroll=1,
+                       remat_encoder=False)
+    trainer = Stage1Trainer(cfg, enc_config=enc_cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    t = seconds * cfg.target_sample_rate
+    wave = rng.normal(0, 0.2, (batch, t)).astype(np.float32)
+    labels = np.array([1, 0] * (batch // 2), np.int32)
+
+    def batches():
+        for _ in range(n_batches):
+            yield Batch(waveforms=wave, labels=labels, multi_labels=labels,
+                        valid=np.ones(batch, bool))
+
+    def run_stream():
+        n = 0
+        for z, b in stream_through_device(
+            batches(),
+            lambda b: jax.device_put(b.waveforms),
+            lambda w: trainer.embed_step(state.params, state.frozen,
+                                         {"waveforms": w}),
+        ):
+            n += z.shape[0]
+        return n
+
+    _ = run_stream() if n_batches <= 2 else np.asarray(trainer.embed_step(
+        state.params, state.frozen,
+        {"waveforms": jnp.asarray(wave)}))  # compile once
+    t0 = time.perf_counter()
+    n = run_stream()
+    dt = time.perf_counter() - t0
+    return {
+        "extract_batch": batch,
+        "extract_clips_per_sec": round(n / dt, 1),
+        "extract_ms_per_batch": round(dt / n_batches * 1e3, 2),
+    }
+
+
 def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
                   model: str = "xlsr") -> dict:
     """End-to-end serving latency: waveform batch -> spoof logits through
@@ -197,7 +263,9 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--which", type=str, default="all",
-                   choices=["all", "decode", "rawboost", "supcon", "serving"])
+                   choices=["all", "decode", "rawboost", "supcon", "serving",
+                            "extract"])
+    p.add_argument("--extract_batch", type=int, default=32)
     p.add_argument("--serving_model", type=str, default="xlsr",
                    choices=["xlsr", "tiny"])
     p.add_argument("--serving_batch", type=int, default=8)
@@ -218,6 +286,9 @@ def main(argv=None) -> None:
         results.update(bench_serving(batch=args.serving_batch,
                                      seconds=args.serving_seconds,
                                      repeats=args.serving_repeats,
+                                     model=args.serving_model))
+    if args.which == "extract":  # not in 'all': compiles a full encoder
+        results.update(bench_extract(batch=args.extract_batch,
                                      model=args.serving_model))
     print(json.dumps(results))
 

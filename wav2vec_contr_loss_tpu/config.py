@@ -95,6 +95,8 @@ class Stage1Config:
     # neutral: remat/unroll only change scheduling, never values.
     remat_encoder: bool = True          # rematerialize encoder layers in bwd
     remat_policy: str = "dots"          # 'full' | 'dots' (keep matmul outputs)
+    remat_conv: bool = False            # recompute conv-extractor activations
+                                        # in bwd (needed for bs>=64 finetune)
     scan_unroll: int = 24               # encoder layer-scan unroll factor
     fused_qkv: bool = False             # one (D,3D) qkv matmul per layer
     attention_impl: str = "xla"         # 'xla' | 'pallas' (fused VMEM attn)
@@ -133,6 +135,12 @@ class Stage1Config:
     # The second moment stays fp32 (its sqrt sets the step scale);
     # 'float32' restores the reference's exact AdamW numerics in one flag.
     adam_mu_dtype: str = "bfloat16"
+    # AdamW second-moment storage. 'bfloat16' frees another ~1.3 GB of
+    # HBM residency+traffic (EMA/rsqrt math stays fp32 — see
+    # ops/adam_bf16nu.py for the error bound); NON-default: fp32 nu is the
+    # reference's exact step-scale. Needed (with remat_conv) to fit the
+    # bs=64 capability row in one v5e's HBM.
+    adam_nu_dtype: str = "float32"
 
     def replace(self, **kw) -> "Stage1Config":
         return dataclasses.replace(self, **kw)
@@ -214,7 +222,10 @@ class Stage2Config:
     epochs: int = 200
     batch_size: int = 64
     patience: int = 15
-    log_every: int = 10
+    # NOTE: the reference's LOG_EVERY (stage2_config.py:65, gating per-STEP
+    # prints inside its epoch loop) has no equivalent here: the whole
+    # stage-2 epoch runs as one fused lax.scan (train/stage2.py), so the
+    # finest logging granularity is the epoch line. Knob dropped, not dead.
     seed: int = 1337
 
     def replace(self, **kw) -> "Stage2Config":

@@ -76,6 +76,10 @@ class Wav2Vec2Config:
     # 'dots_all' additionally keeps the (B,H,T,T) attention matmul outputs
     # (dots_saveable) — cheapest recompute, most memory
     remat_policy: str = "full"
+    # rematerialize the conv feature-extractor tower (its ~2 GB of saved
+    # bs=64 activations are the HBM margin for large-batch finetuning;
+    # no-op when the extractor is frozen)
+    remat_conv: bool = False
     # lax.scan unroll factor for the layer stack: >1 trades compile time for
     # removing per-iteration dynamic-slice/update overhead on the stacked
     # params (profiling showed ~10% of step time there at unroll=1)
@@ -483,7 +487,19 @@ class Wav2Vec2Encoder(nn.Module):
             # (reference: encoder.py:50-51)
             attention_mask = (waveforms != 0.0).astype(jnp.int32)
 
-        features = FeatureExtractor(cfg, name="feature_extractor")(waveforms)
+        fx_cls = FeatureExtractor
+        if cfg.remat_conv and not cfg.freeze_feature_extractor:
+            # the 7-conv tower over 80k samples saves ~2 GB of activations
+            # at bs=64 (bf16[B,15999,512] + downstream) — recompute them in
+            # the backward instead; that tower is the measured OOM margin
+            # for the bs=64 capability row (docs/ARCHITECTURE.md r3).
+            # Pointless when the extractor is frozen (stop_gradient already
+            # kills its backward).
+            fx_cls = nn.remat(
+                FeatureExtractor,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+        features = fx_cls(cfg, name="feature_extractor")(waveforms)
         if cfg.freeze_feature_extractor:
             # structural-zero grads for the conv stack: XLA dead-code
             # eliminates its whole backward (dW + dX convs)

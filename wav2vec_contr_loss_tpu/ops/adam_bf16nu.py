@@ -1,0 +1,109 @@
+"""AdamW with reduced-precision SECOND-moment storage (capability knob).
+
+The r3 profile at the 149.2 clips/s default recipe (docs/PROFILE_r3.md)
+attributes ~14% of step time to f32 fusions over the stacked encoder
+parameters — grads + Adam state + params read/written once per step. The
+first moment already stores in bf16 (`adam_mu_dtype`, r2, default); this
+transform extends the same treatment to `nu`, halving its HBM residency
+and traffic (~1.3 GB for the 315M-param encoder).
+
+Math stays fp32: both moments are upcast before the exponential-moving-
+average update and the rsqrt step-size computation; only the STORAGE dtype
+drops. The bf16 mantissa (8 bits) bounds the relative nu error at ~0.4%,
+i.e. ~0.2% on the sqrt step scale — measured against fp32 Adam in
+tests/test_adam_bf16nu.py. Non-default (`adam_nu_dtype='float32'` is the
+config default) until a full training run bounds the end-metric effect;
+the reference's AdamW keeps everything fp32 (train_stage1.py:93-96).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["adamw_storage_dtypes"]
+
+
+def _cast(tree, dtype):
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def _scale_by_adam_storage(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    eps_root: float = 0.0,
+    mu_dtype=None,
+    nu_dtype=None,
+) -> optax.GradientTransformation:
+    """optax.scale_by_adam semantics with independent mu/nu storage dtypes.
+
+    Matches optax.scale_by_adam bit-for-bit when both dtypes are None
+    (tested); with a reduced dtype, EMA math runs fp32 and only the stored
+    state is down-cast."""
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params)
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        f32 = jnp.float32
+
+        def ema_mu(g, m):
+            return b1 * m.astype(f32) + (1 - b1) * g.astype(f32)
+
+        def ema_nu(g, v):
+            return b2 * v.astype(f32) + (1 - b2) * jnp.square(g.astype(f32))
+
+        mu = jax.tree_util.tree_map(ema_mu, updates, state.mu)
+        nu = jax.tree_util.tree_map(ema_nu, updates, state.nu)
+        count = state.count + 1
+        bc1 = 1 - b1 ** count.astype(f32)
+        bc2 = 1 - b2 ** count.astype(f32)
+
+        def step(m, v, g):
+            out = (m / bc1) / (jnp.sqrt(v / bc2 + eps_root) + eps)
+            return out.astype(g.dtype)
+
+        new_updates = jax.tree_util.tree_map(step, mu, nu, updates)
+        return new_updates, optax.ScaleByAdamState(
+            count=count, mu=_cast(mu, mu_dtype), nu=_cast(nu, nu_dtype))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw_storage_dtypes(
+    learning_rate,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype=None,
+    nu_dtype=None,
+) -> optax.GradientTransformation:
+    """AdamW with independent storage dtypes for both moments.
+
+    nu_dtype=None delegates to stock optax.adamw (mu_dtype passthrough) so
+    the default path is exactly what r2 measured; nu_dtype=bf16 swaps in
+    the storage-dtype Adam core with the same decay/schedule plumbing."""
+    if nu_dtype is None:
+        return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay, mu_dtype=mu_dtype)
+    return optax.chain(
+        _scale_by_adam_storage(b1=b1, b2=b2, eps=eps,
+                               mu_dtype=mu_dtype, nu_dtype=nu_dtype),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )

@@ -12,6 +12,23 @@ backward regenerates identical masks by construction).
 
 The per-call seed is derived from the usual flax 'dropout' PRNG key (one
 threefry call for one scalar), so runs remain reproducible end-to-end.
+
+Statistical guarantees (tested in tests/test_fast_dropout.py):
+  * marginal uniformity: keep fraction within ±1% of 1-rate; per-row keep
+    counts pass a chi-square test against Binomial(n, 1-rate);
+  * within-mask avalanche: neighboring-element bit correlation < 0.01;
+  * cross-LAYER and cross-STEP decorrelation at identical element
+    coordinates — the failure mode that would actually bias training —
+    bounded < 0.06 max pairwise mask correlation for seeds derived the way
+    the encoder derives them (flax scan split per layer, state.rng split
+    per step), AND for raw successive integer seeds (s, s+1, ...), the
+    worst case for a weak hash.
+Known limits: the scalar seed is 31 bits, so by birthday ~2^15.5 distinct
+dropout call sites x steps may eventually repeat a full mask pattern at
+identical coordinates — harmless for dropout (masks are still valid
+samples), unacceptable for anything cryptographic. Not a CSPRNG. Set
+Wav2Vec2Config.dropout_impl='threefry' to fall back to jax.random
+(bit-identical to flax nn.Dropout) at ~45 ms/step cost on a v5e.
 """
 
 from __future__ import annotations

@@ -91,13 +91,17 @@ def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransforma
     (second moment stays fp32: its sqrt sets the step scale)."""
     mu_dtype = (jnp.bfloat16 if getattr(cfg, "adam_mu_dtype", "float32")
                 == "bfloat16" else None)
+    nu_dtype = (jnp.bfloat16 if getattr(cfg, "adam_nu_dtype", "float32")
+                == "bfloat16" else None)
+    from ..ops.adam_bf16nu import adamw_storage_dtypes
+
     head_tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cfg.head_lr, weight_decay=cfg.weight_decay,
-                    mu_dtype=mu_dtype),
+        adamw_storage_dtypes(cfg.head_lr, weight_decay=cfg.weight_decay,
+                             mu_dtype=mu_dtype, nu_dtype=nu_dtype),
     )
-    enc_tx = optax.adamw(cfg.enc_lr, weight_decay=cfg.weight_decay,
-                         mu_dtype=mu_dtype)
+    enc_tx = adamw_storage_dtypes(cfg.enc_lr, weight_decay=cfg.weight_decay,
+                                  mu_dtype=mu_dtype, nu_dtype=nu_dtype)
     freeze_fx = getattr(cfg, "freeze_feature_extractor", False)
     return optax.multi_transform(
         {"head": head_tx, "encoder": enc_tx, "frozen": optax.set_to_zero()},
@@ -128,6 +132,7 @@ class Stage1Trainer:
         self.enc_config = enc_config.with_(
             dtype=dtype, remat=cfg.remat_encoder,
             remat_policy=getattr(cfg, "remat_policy", "full"),
+            remat_conv=getattr(cfg, "remat_conv", False),
             scan_unroll=getattr(cfg, "scan_unroll", 1),
             fused_qkv=getattr(cfg, "fused_qkv", False),
             attention_impl=getattr(cfg, "attention_impl", "xla"),
