@@ -70,6 +70,65 @@ def test_bench_serving_smoke(capsys):
     assert out["serving_clips_per_sec"] > 0
 
 
+def test_cli_serve_streams_scores(tmp_path, capsys):
+    """cli.serve: paths in -> 'path\\tlogit' lines out, in input order,
+    tail batch padded (5 clips at batch 4), corrupted file scored via the
+    zero-waveform fallback instead of crashing the stream."""
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(8):
+        name = f"c{i:03d}.wav"
+        x = 0.3 * rng.standard_normal(SR)
+        write_wav(tmp_path / name, x.astype(np.float32), SR)
+        lines.append(f"d/{name} {'-' if i % 2 else 'A01'} "
+                     f"{'bonafide' if i % 2 else 'spoof'} - S{i % 3}")
+    (tmp_path / "p.txt").write_text("\n".join(lines) + "\n")
+    ds = parse_asvspoof2019(str(tmp_path / "p.txt"), str(tmp_path),
+                            audio=AudioConfig(SR, 1))
+
+    cfg = Stage1Config(epochs=1, batch_size=8, input_dim=32, hidden_dim=16,
+                       max_duration_seconds=1, use_rawboost=False,
+                       finetune_encoder=False, compute_dtype="float32", seed=0)
+    trainer = Stage1Trainer(cfg, enc_config=TINY_ENC)
+    state = trainer.init_state()
+    pipe = BatchPipeline(ds, 8, seed=0, num_workers=2)
+    state, _ = trainer.fit(state, pipe, save_dir=str(tmp_path / "s1"))
+    embs, labels = trainer.embed_dataset(state, pipe)
+    cfg2 = Stage2Config(epochs=5, batch_size=16, lr=5e-2, seed=0)
+    train_stage2(cfg2, embs, labels, embs, labels,
+                 save_dir=str(tmp_path / "s2"))
+
+    bad = tmp_path / "corrupt.wav"
+    bad.write_bytes(b"not a wav file")
+    paths = [str(tmp_path / f"c{i:03d}.wav") for i in range(4)] + [str(bad)]
+    (tmp_path / "list.txt").write_text("\n".join(paths) + "\n")
+
+    from wav2vec_contr_loss_tpu.cli.serve import main as serve_main
+
+    capsys.readouterr()  # drain the training-setup output
+    serve_main(["--stage1_dir", str(tmp_path / "s1"),
+                "--stage2_dir", str(tmp_path / "s2"),
+                "--list", str(tmp_path / "list.txt"),
+                "--batch", "4", "--max_duration_seconds", "1",
+                "--threshold", "0.0"])
+    out_lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert len(out_lines) == 5
+    got = dict(l.split("\t")[:2] for l in out_lines)
+    assert [l.split("\t")[0] for l in out_lines] == paths  # input order
+    assert all(l.split("\t")[2] in ("bonafide", "spoof") for l in out_lines)
+
+    # parity with direct scoring (incl. the zero-waveform fallback clip)
+    scorer = SpoofScorer.from_checkpoints(str(tmp_path / "s1"),
+                                          str(tmp_path / "s2"))
+    from wav2vec_contr_loss_tpu.data.audio import AudioLoader
+    loader = AudioLoader(AudioConfig(SR, 1))
+    waves = np.stack([loader.load(p) for p in paths])
+    want = scorer.score_waveforms(
+        np.concatenate([waves, np.zeros((3, SR), np.float32)]))[:5]
+    np.testing.assert_allclose(
+        [float(got[p]) for p in paths], want, atol=1e-5)
+
+
 def test_bench_extract_smoke():
     """The B=32-class extraction bench (overlapped stream path) runs
     end-to-end on the tiny model and emits JSON-clean numbers (r3,

@@ -136,7 +136,7 @@ def bench_supcon(batch: int = 256, dim: int = 256, repeats: int = 50) -> dict:
 
 
 def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
-                  model: str = "xlsr") -> dict:
+                  model: str = "xlsr", unroll: int = 1) -> dict:
     """Embedding-extraction throughput at a production batch size through
     the overlapped H2D/compute/D2H path (stream_through_device) — the
     longest leg of the 153k-clip pipeline after training
@@ -160,9 +160,11 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
             apply_spec_augment=False)
         input_dim = 32
     # forward-only graph: rolled scan, no remat (same choice as serving)
+    # unroll: see bench_serving — rolled-scan XLS-R compiles die on the
+    # axon remote-compile service; unroll=24 is the measured path there.
     cfg = Stage1Config(batch_size=batch, finetune_encoder=False,
                        use_rawboost=False, input_dim=input_dim,
-                       max_duration_seconds=seconds, scan_unroll=1,
+                       max_duration_seconds=seconds, scan_unroll=unroll,
                        remat_encoder=False)
     trainer = Stage1Trainer(cfg, enc_config=enc_cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -202,7 +204,7 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
 
 
 def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
-                  model: str = "xlsr") -> dict:
+                  model: str = "xlsr", unroll: int = 1) -> dict:
     """End-to-end serving latency: waveform batch -> spoof logits through
     the fused SpoofScorer graph (encoder + compression + pooling + head in
     one jit — the reference's two-process .npy pipeline collapsed,
@@ -225,12 +227,17 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
             num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
             apply_spec_augment=False)
         input_dim = 32
-    # scan_unroll=1: the full unroll only pays off in the training bwd
-    # (dynamic-slice tax there); a forward-only serving graph runs the
-    # rolled scan at the same speed with a far smaller/faster compile
+    # scan_unroll=1 default: the full unroll only pays off in the training
+    # bwd (dynamic-slice tax there); a forward-only serving graph runs the
+    # rolled scan at the same speed with a far smaller program. On the
+    # axon remote-compile service, however, every rolled-scan XLS-R
+    # compile (r2: 8 attempts, r3: 1) died at ~30 min with a transport
+    # broken pipe while unrolled train-class programs compiled fine —
+    # `unroll=24` is the workaround that produced the measured numbers
+    # in docs/SERVING.md.
     cfg = Stage1Config(batch_size=batch, finetune_encoder=False,
                        use_rawboost=False, input_dim=input_dim,
-                       max_duration_seconds=seconds, scan_unroll=1,
+                       max_duration_seconds=seconds, scan_unroll=unroll,
                        remat_encoder=False)
     trainer = Stage1Trainer(cfg, enc_config=enc_cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -271,6 +278,7 @@ def main(argv=None) -> None:
     p.add_argument("--serving_batch", type=int, default=8)
     p.add_argument("--serving_seconds", type=int, default=5)
     p.add_argument("--serving_repeats", type=int, default=30)
+    p.add_argument("--serving_unroll", type=int, default=1)
     args = p.parse_args(argv)
     from ..utils.compile_cache import enable_compile_cache
 
@@ -286,10 +294,12 @@ def main(argv=None) -> None:
         results.update(bench_serving(batch=args.serving_batch,
                                      seconds=args.serving_seconds,
                                      repeats=args.serving_repeats,
-                                     model=args.serving_model))
+                                     model=args.serving_model,
+                                     unroll=args.serving_unroll))
     if args.which == "extract":  # not in 'all': compiles a full encoder
         results.update(bench_extract(batch=args.extract_batch,
-                                     model=args.serving_model))
+                                     model=args.serving_model,
+                                     unroll=args.serving_unroll))
     print(json.dumps(results))
 
 

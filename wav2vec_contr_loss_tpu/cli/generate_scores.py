@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 from ..config import Stage2Config
 from ..eval.extract import load_embeddings
@@ -26,8 +27,10 @@ def load_stage2_head(ckpt_dir: str, name: str = "stage2_binary_head_best"):
         dropout=float(c.get("DROPOUT", 0.2)),
     )
     params, _ = restore_checkpoint(ckpt_dir, name)
+    # stderr: stdout may be a machine-readable stream (cli.serve)
     print(f"Loaded Stage-2 head: type={cfg.head_type}, in_dim={cfg.in_dim}, "
-          f"hidden_dim={cfg.hidden_dim}, dropout={cfg.dropout}")
+          f"hidden_dim={cfg.hidden_dim}, dropout={cfg.dropout}",
+          file=sys.stderr)
     return cfg, params
 
 

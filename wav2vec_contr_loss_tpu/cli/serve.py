@@ -1,0 +1,135 @@
+"""Streaming scoring daemon: audio paths in, spoof scores out.
+
+The reference's deployment story is a two-process filesystem pipeline
+(extract_stage1_embeddings.py writes .npy, generate_eval_score_file.py
+reads and scores). This CLI is the online counterpart of that offline
+contract: it holds the fused `SpoofScorer` graph resident on the chip and
+scores newline-separated audio paths from stdin (or `--list`), emitting
+one `path\tlogit` line per clip, flushed per batch so it composes with
+pipes. Decode runs in a thread pool overlapped with device scoring;
+corrupted files follow the reference's zero-waveform fallback contract
+(reference: base_audio.py:21-34 — counted, scored as silence, never
+crash the stream).
+
+Usage:
+    find corpus/ -name '*.flac' | python -m wav2vec_contr_loss_tpu.cli.serve \
+        --stage1_dir checkpoints_stage1/<tag> --stage2_dir scores_stage2/<tag>
+
+Higher logit == more bonafide-like (the reference's score-file
+convention, generate_eval_score_file.py:214).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, Tuple
+
+import numpy as np
+
+from ..data.audio import AudioConfig, AudioLoader
+
+__all__ = ["score_paths", "main"]
+
+
+def _batched_waves(paths: Iterable[str], loader: AudioLoader, batch: int,
+                   workers: int) -> Iterator[Tuple[list, np.ndarray]]:
+    """Decode `paths` with a bounded-lookahead thread pool and group into
+    (paths, (B, T) float32) batches; the tail batch is zero-padded to the
+    static batch size (XLA graph compiles once)."""
+    t = loader.config.num_samples
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending: deque = deque()  # (path, future)
+        done_paths, done_waves = [], []
+        it = iter(paths)
+        exhausted = False
+        while True:
+            # keep up to 2 batches of decode in flight ahead of the device
+            while not exhausted and len(pending) < 2 * batch:
+                try:
+                    p = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                pending.append((p, pool.submit(loader.load, p)))
+            if not pending:
+                break
+            p, fut = pending.popleft()
+            done_paths.append(p)
+            done_waves.append(fut.result())
+            if len(done_paths) == batch or (exhausted and not pending):
+                n = len(done_paths)
+                waves = np.zeros((batch, t), np.float32)
+                waves[:n] = np.stack(done_waves)
+                yield done_paths, waves
+                done_paths, done_waves = [], []
+
+
+def score_paths(scorer, paths: Iterable[str], batch: int = 8,
+                audio_config: AudioConfig = AudioConfig(),
+                workers: int = 8) -> Iterator[Tuple[str, float]]:
+    """Yield (path, logit) in input order; static-shape batches with tail
+    padding, decode overlapped with scoring."""
+    loader = AudioLoader(audio_config)
+    for chunk, waves in _batched_waves(paths, loader, batch, workers):
+        logits = scorer.score_waveforms(waves)
+        for p, lg in zip(chunk, logits[: len(chunk)]):
+            yield p, float(lg)
+
+
+def _stdin_paths() -> Iterator[str]:
+    for line in sys.stdin:
+        line = line.strip()
+        if line:
+            yield line
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stage1_dir", type=str, required=True)
+    p.add_argument("--stage1_name", type=str, default="best")
+    p.add_argument("--stage2_dir", type=str, required=True)
+    p.add_argument("--stage2_name", type=str,
+                   default="stage2_binary_head_best")
+    p.add_argument("--list", dest="list_file", type=str, default=None,
+                   help="file with one audio path per line (default: stdin)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="static serving batch (one compiled graph)")
+    p.add_argument("--max_duration_seconds", type=int, default=5)
+    p.add_argument("--target_sample_rate", type=int, default=16000)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="optional decision threshold: adds a third column "
+                        "bonafide/spoof (e.g. the dev-EER threshold printed "
+                        "by cli.eval_scores)")
+    args = p.parse_args(argv)
+
+    from ..eval.serving import SpoofScorer
+
+    scorer = SpoofScorer.from_checkpoints(
+        args.stage1_dir, args.stage2_dir,
+        stage1_name=args.stage1_name, stage2_name=args.stage2_name)
+    audio_cfg = AudioConfig(target_sample_rate=args.target_sample_rate,
+                            max_duration_seconds=args.max_duration_seconds)
+
+    paths = _stdin_paths() if args.list_file is None else (
+        line.strip() for line in open(args.list_file) if line.strip())
+    n = 0
+    for path, logit in score_paths(scorer, paths, batch=args.batch,
+                                   audio_config=audio_cfg,
+                                   workers=args.num_workers):
+        if args.threshold is None:
+            print(f"{path}\t{logit:.6f}", flush=True)
+        else:
+            label = "bonafide" if logit >= args.threshold else "spoof"
+            print(f"{path}\t{logit:.6f}\t{label}", flush=True)
+        n += 1
+    print(f"[serve] scored {n} clips "
+          f"(decode ok={AudioLoader.loaded_count} "
+          f"failed={AudioLoader.failed_count})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 import threading
 import wave
 from dataclasses import dataclass
@@ -239,7 +240,9 @@ class AudioLoader:
             with AudioLoader._count_lock:
                 AudioLoader.loaded_count += 1
         except Exception as e:
-            print(f"[WARNING] Corrupted file: {path}. Error: {e}")
+            # stderr: stdout may be a machine-readable stream (cli.serve)
+            print(f"[WARNING] Corrupted file: {path}. Error: {e}",
+                  file=sys.stderr)
             with AudioLoader._count_lock:
                 AudioLoader.failed_count += 1
             return np.zeros(cfg.num_samples, dtype=np.float32)
