@@ -135,12 +135,14 @@ class Stage1Config:
     # The second moment stays fp32 (its sqrt sets the step scale);
     # 'float32' restores the reference's exact AdamW numerics in one flag.
     adam_mu_dtype: str = "bfloat16"
-    # AdamW second-moment storage. 'bfloat16' frees another ~1.3 GB of
-    # HBM residency+traffic (EMA/rsqrt math stays fp32 — see
-    # ops/adam_bf16nu.py for the error bound); NON-default: fp32 nu is the
-    # reference's exact step-scale. Needed (with remat_conv) to fit the
-    # bs=64 capability row in one v5e's HBM.
-    adam_nu_dtype: str = "float32"
+    # AdamW second-moment storage. 'bfloat16' frees ~1.3 GB of HBM
+    # residency+traffic (EMA/rsqrt math stays fp32 — see ops/adam_bf16nu.py
+    # for the ~0.2%-on-step-scale error bound) and measured +0.9% on-chip
+    # (149.2 -> 150.5 clips/s, r3); also the enabler (with remat_conv) for
+    # bs=64 finetuning in one v5e's HBM. 'float32' restores the
+    # reference's exact AdamW step-scale in one flag (PARITY.md deviation
+    # #7).
+    adam_nu_dtype: str = "bfloat16"
 
     def replace(self, **kw) -> "Stage1Config":
         return dataclasses.replace(self, **kw)
