@@ -34,9 +34,18 @@ def main(argv=None) -> None:
             jax.random.PRNGKey(args.seed), jnp.zeros((1, 80000), jnp.float32)
         )["params"]
 
+    # params as jit ARGUMENTS, never closure captures: closed-over arrays
+    # are embedded in the lowered module as literals, ballooning the HLO
+    # shipped to the remote-compile service by the full parameter size
+    # (see eval/serving.py for the measured failure).
+    enc_params = jax.device_put(enc_params)
+
     @jax.jit
+    def _layer_mean(p, waves):
+        return encoder.apply({"params": p}, waves)["layer_mean"]
+
     def layer_mean_fn(waves):
-        return encoder.apply({"params": enc_params}, waves)["layer_mean"]
+        return _layer_mean(enc_params, waves)
 
     rb = RawBoostParams(prob=args.rawboost_prob)
     for name, root, protocol, boost in [

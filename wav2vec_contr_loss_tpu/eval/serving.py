@@ -34,22 +34,31 @@ class SpoofScorer:
         self.state = state
         self.head = build_head(stage2_cfg.head_type, stage2_cfg.hidden_dim,
                                stage2_cfg.dropout)
-        self.head_params = head_params
 
         enc = trainer.encoder
         comp = trainer.compression
-        enc_params = state.params.get("encoder") or state.frozen.get("encoder")
-        comp_params = state.params["compression"]
+        # Params MUST be jit ARGUMENTS, not closure captures: a closed-over
+        # array is embedded into the lowered module as a literal constant,
+        # so the XLS-R graph became a multi-GB HLO upload that the axon
+        # remote-compile service dropped mid-transfer (every r2/r3
+        # serving-compile 'Broken pipe' traced to this; measured: 64 MB of
+        # closed-over params -> 134 MB module vs 1.7 KB with arguments).
+        enc_params = jax.device_put(
+            state.params.get("encoder") or state.frozen.get("encoder"))
+        comp_params = jax.device_put(state.params["compression"])
+        head_params = jax.device_put(head_params)
+        self.head_params = head_params
 
         @jax.jit
-        def score(waves: jnp.ndarray) -> jnp.ndarray:
+        def score(enc_p, comp_p, head_p, waves: jnp.ndarray) -> jnp.ndarray:
             attn = (waves != 0.0).astype(jnp.int32)
-            enc_out = enc.apply({"params": enc_params}, waves, attn)
-            seq = comp.apply({"params": comp_params}, enc_out["layer_mean"])
+            enc_out = enc.apply({"params": enc_p}, waves, attn)
+            seq = comp.apply({"params": comp_p}, enc_out["layer_mean"])
             z = clip_embedding(seq)
-            return self.head.apply({"params": head_params}, z)
+            return self.head.apply({"params": head_p}, z)
 
-        self._score = score
+        self._score = lambda waves: score(enc_params, comp_params,
+                                          head_params, waves)
 
     @classmethod
     def from_checkpoints(cls, stage1_dir: str, stage2_dir: str,
