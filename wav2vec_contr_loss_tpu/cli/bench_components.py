@@ -207,12 +207,34 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
         _ = np.asarray(trainer.embed_step(state.params, state.frozen,
                                           {"waveforms": wave_dev}))
     dt_r = time.perf_counter() - t0
+    # int16 wire leg: same stream, half the H2D bytes (ops/wire.py)
+    from ..ops.wire import quantize_wire
+
+    def run_stream16():
+        n = 0
+        for z, b in stream_through_device(
+            batches(),
+            lambda b: jax.device_put(quantize_wire(b.waveforms)),
+            lambda w: trainer.embed_step(state.params, state.frozen,
+                                         {"waveforms": w}),
+        ):
+            n += z.shape[0]
+        return n
+
+    _ = np.asarray(trainer.embed_step(  # compile the int16 entry
+        state.params, state.frozen,
+        {"waveforms": jnp.asarray(quantize_wire(wave))}))
+    t0 = time.perf_counter()
+    n16 = run_stream16()
+    dt_w = time.perf_counter() - t0
     return {
         "extract_batch": batch,
         "extract_clips_per_sec": round(n / dt, 1),
         "extract_ms_per_batch": round(dt / n_batches * 1e3, 2),
         "extract_resident_clips_per_sec": round(n / dt_r, 1),
         "extract_resident_ms_per_batch": round(dt_r / n_batches * 1e3, 2),
+        "extract_wire16_clips_per_sec": round(n16 / dt_w, 1),
+        "extract_wire16_ms_per_batch": round(dt_w / n_batches * 1e3, 2),
     }
 
 
@@ -285,6 +307,14 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
         _ = np.asarray(scorer._score(waves_dev))
         lat_r.append((time.perf_counter() - t0) * 1e3)
     lat_r = np.sort(np.asarray(lat_r))
+    # Third leg: int16 wire (half the H2D bytes — ops/wire.py).
+    _ = scorer.score_waveforms(waves, wire="int16")  # compile int16 entry
+    lat_w = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = scorer.score_waveforms(waves, wire="int16")
+        lat_w.append((time.perf_counter() - t0) * 1e3)
+    lat_w = np.sort(np.asarray(lat_w))
     return {
         "serving_batch": batch,
         "serving_p50_ms": round(float(lat[len(lat) // 2]), 2),
@@ -295,6 +325,9 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
             float(lat_r[int(len(lat_r) * 0.95)]), 2),
         "serving_resident_clips_per_sec": round(
             float(batch / (lat_r.mean() / 1e3)), 1),
+        "serving_wire16_p50_ms": round(float(lat_w[len(lat_w) // 2]), 2),
+        "serving_wire16_clips_per_sec": round(
+            float(batch / (lat_w.mean() / 1e3)), 1),
     }
 
 

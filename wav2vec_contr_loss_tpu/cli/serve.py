@@ -69,12 +69,14 @@ def _batched_waves(paths: Iterable[str], loader: AudioLoader, batch: int,
 
 def score_paths(scorer, paths: Iterable[str], batch: int = 8,
                 audio_config: AudioConfig = AudioConfig(),
-                workers: int = 8) -> Iterator[Tuple[str, float]]:
+                workers: int = 8,
+                wire: str = "float32") -> Iterator[Tuple[str, float]]:
     """Yield (path, logit) in input order; static-shape batches with tail
-    padding, decode overlapped with scoring."""
+    padding, decode overlapped with scoring. wire='int16' halves the H2D
+    bytes (exact for unresampled PCM sources — ops/wire.py)."""
     loader = AudioLoader(audio_config)
     for chunk, waves in _batched_waves(paths, loader, batch, workers):
-        logits = scorer.score_waveforms(waves)
+        logits = scorer.score_waveforms(waves, wire=wire)
         for p, lg in zip(chunk, logits[: len(chunk)]):
             yield p, float(lg)
 
@@ -100,6 +102,10 @@ def main(argv=None) -> None:
     p.add_argument("--max_duration_seconds", type=int, default=5)
     p.add_argument("--target_sample_rate", type=int, default=16000)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--wire", type=str, default="float32",
+                   choices=["float32", "int16"],
+                   help="host->device waveform format; int16 halves H2D "
+                        "bytes (exact for unresampled PCM)")
     p.add_argument("--threshold", type=float, default=None,
                    help="optional decision threshold: adds a third column "
                         "bonafide/spoof (e.g. the dev-EER threshold printed "
@@ -119,7 +125,8 @@ def main(argv=None) -> None:
     n = 0
     for path, logit in score_paths(scorer, paths, batch=args.batch,
                                    audio_config=audio_cfg,
-                                   workers=args.num_workers):
+                                   workers=args.num_workers,
+                                   wire=args.wire):
         if args.threshold is None:
             print(f"{path}\t{logit:.6f}", flush=True)
         else:

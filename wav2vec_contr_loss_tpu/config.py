@@ -93,6 +93,11 @@ class Stage1Config:
     # 130+ clips/s/chip) so `cli.run_pipeline --exp_name ...` hits
     # bench-class throughput without hand flags. They are numerically
     # neutral: remat/unroll only change scheduling, never values.
+    # Waveform host->device wire format. 'int16' halves H2D bytes (audio
+    # is 16-bit PCM at the source; exact round trip when unresampled,
+    # <=-96 dB re-quantization otherwise — ops/wire.py). Non-default:
+    # 'float32' is the reference's representation end-to-end.
+    wire_dtype: str = "float32"
     remat_encoder: bool = True          # rematerialize encoder layers in bwd
     remat_policy: str = "dots"          # 'full' | 'dots' (keep matmul outputs)
     remat_conv: bool = False            # recompute conv-extractor activations
@@ -250,6 +255,7 @@ class Stage2Config:
 class BaselineConfig:
     """End-to-end BCE baseline (reference: baseline_train.py:23-57)."""
 
+    wire_dtype: str = "float32"         # see Stage1Config.wire_dtype
     model_name: str = "facebook/wav2vec2-xls-r-300m"
     target_sample_rate: int = 16000
     max_duration_seconds: int = 5

@@ -20,6 +20,7 @@ from ..config import Stage2Config
 from ..data.pipeline import BatchPipeline
 from ..models.compression import clip_embedding
 from ..models.heads import build_head
+from ..ops.wire import dequantize_wire, quantize_wire
 from ..train.stage1 import Stage1Trainer
 
 __all__ = ["SpoofScorer"]
@@ -51,6 +52,7 @@ class SpoofScorer:
 
         @jax.jit
         def score(enc_p, comp_p, head_p, waves: jnp.ndarray) -> jnp.ndarray:
+            waves = dequantize_wire(waves)  # int16 wire -> f32 (no-op f32)
             attn = (waves != 0.0).astype(jnp.int32)
             enc_out = enc.apply({"params": enc_p}, waves, attn)
             seq = comp.apply({"params": comp_p}, enc_out["layer_mean"])
@@ -72,9 +74,14 @@ class SpoofScorer:
         cfg2, head_params = load_stage2_head(stage2_dir, stage2_name)
         return cls(trainer, state, cfg2, head_params)
 
-    def score_waveforms(self, waves: np.ndarray) -> np.ndarray:
+    def score_waveforms(self, waves: np.ndarray,
+                        wire: str = "float32") -> np.ndarray:
         """(B, T) float32 zero-padded waveforms -> (B,) raw logits
-        (higher == more bonafide-like)."""
+        (higher == more bonafide-like). wire='int16' ships the batch as
+        16-bit PCM (half the H2D bytes; exact for unresampled PCM —
+        ops/wire.py)."""
+        if wire == "int16":
+            return np.asarray(self._score(jnp.asarray(quantize_wire(waves))))
         return np.asarray(self._score(jnp.asarray(waves, jnp.float32)))
 
     def score_dataset(self, pipe: BatchPipeline

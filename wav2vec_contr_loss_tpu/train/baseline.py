@@ -31,6 +31,7 @@ from ..losses import bce_logits_loss
 from ..models.compression import CompressionModule, clip_embedding
 from ..models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
 from ..ops.rawboost import rawboost_batch_device
+from ..ops.wire import dequantize_wire, quantize_wire
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
 from . import checkpoint as ckpt
 
@@ -174,7 +175,7 @@ class BaselineTrainer:
 
         def train_step(state: BaselineState, batch: Dict):
             rng, k_rb, k_fwd = jax.random.split(state.rng, 3)
-            wave = batch["waveforms"]
+            wave = dequantize_wire(batch["waveforms"])  # ops/wire.py
             if cfg.use_rawboost and cfg.rawboost_mode == "device":
                 wave = rawboost_batch_device(
                     wave, k_rb, cfg.rawboost_prob, self.rawboost_params
@@ -191,7 +192,8 @@ class BaselineTrainer:
                                  step=state.step + 1, rng=rng), {"loss": loss}
 
         def logits_step(state: BaselineState, wave: jnp.ndarray):
-            return self._logits(state.params, state.frozen, wave, False,
+            return self._logits(state.params, state.frozen,
+                                dequantize_wire(wave), False,
                                 jax.random.PRNGKey(0))
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
@@ -203,8 +205,11 @@ class BaselineTrainer:
         n_proc = jax.process_count()
         rank = jax.process_index()
 
+        wire16 = getattr(self.cfg, "wire_dtype", "float32") == "int16"
+
         def put(b: Batch) -> Dict:
-            arrays = {"waveforms": b.waveforms, "labels": b.labels}
+            arrays = {"waveforms": quantize_wire(b.waveforms) if wire16
+                      else b.waveforms, "labels": b.labels}
             if n_proc > 1:
                 B = b.waveforms.shape[0]
                 if B % n_proc:

@@ -45,6 +45,7 @@ from ..data.rawboost import RawBoostParams
 from ..losses import SupConConfig, supcon_binary_loss, supcon_multiclass_loss
 from ..models.compression import CompressionModule, clip_embedding
 from ..models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+from ..ops.wire import dequantize_wire, quantize_wire
 from ..ops.rawboost import rawboost_batch_device
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
 from . import checkpoint as ckpt
@@ -274,7 +275,16 @@ class Stage1Trainer:
     def _build_steps(self) -> None:
         cfg = self.cfg
 
+        def dewire(batch: Dict) -> Dict:
+            # int16 wire batches -> f32 at the single graph entry point
+            # (ops/wire.py; trace-time no-op for float inputs)
+            if "waveforms" in batch:
+                batch = dict(batch)
+                batch["waveforms"] = dequantize_wire(batch["waveforms"])
+            return batch
+
         def train_step(state: Stage1State, batch: Dict, alpha: jnp.ndarray):
+            batch = dewire(batch)
             rng, k_rb, k_fwd = jax.random.split(state.rng, 3)
             if (
                 cfg.use_rawboost
@@ -323,12 +333,14 @@ class Stage1Trainer:
             return new_state, {"loss": loss}
 
         def eval_step(state: Stage1State, batch: Dict):
+            batch = dewire(batch)
             z = self._embed(state.params, state.frozen, batch, False, state.rng)
             # dev loss always uses alpha = 0 (reference: stage1_utils.py:150)
             return self._loss(z, batch, jnp.zeros((), jnp.float32))
 
         def embed_step(params: Dict, frozen: Dict, batch: Dict):
-            return self._embed(params, frozen, batch, False, jax.random.PRNGKey(0))
+            return self._embed(params, frozen, dewire(batch), False,
+                               jax.random.PRNGKey(0))
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.eval_step = jax.jit(eval_step)
@@ -341,9 +353,12 @@ class Stage1Trainer:
         n_proc = jax.process_count()
         rank = jax.process_index()
 
+        wire16 = getattr(self.cfg, "wire_dtype", "float32") == "int16"
+
         def put(b: Batch) -> Dict:
             arrays = {
-                "waveforms": b.waveforms,
+                "waveforms": quantize_wire(b.waveforms) if wire16
+                else b.waveforms,
                 "labels": b.labels,
                 "multi_labels": b.multi_labels,
             }
@@ -541,10 +556,13 @@ class Stage1Trainer:
 
         zs, ys = [], []
         sharding = batch_sharding(self.mesh)
+        wire16 = getattr(self.cfg, "wire_dtype", "float32") == "int16"
         # overlapped H2D / compute / D2H (VERDICT r2 weak #5)
         for z, b in stream_through_device(
             pipe.sequential(),
-            lambda b: jax.device_put(b.waveforms, sharding),
+            lambda b: jax.device_put(
+                quantize_wire(b.waveforms) if wire16 else b.waveforms,
+                sharding),
             lambda wave: self.embed_step(state.params, state.frozen,
                                          {"waveforms": wave}),
         ):
