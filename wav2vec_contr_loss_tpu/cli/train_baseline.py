@@ -38,6 +38,10 @@ def main(argv=None) -> None:
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--max_duration_seconds", type=int, default=5)
+    p.add_argument("--wire_dtype", type=str, default="float32",
+                   choices=["float32", "int16"],
+                   help="waveform H2D wire format (int16 halves input "
+                        "bandwidth; ops/wire.py)")
     args = p.parse_args(argv)
 
     from ..utils.distributed import init_from_args
@@ -59,6 +63,7 @@ def main(argv=None) -> None:
         finetune_encoder=bool(args.finetune_encoder),
         remat_encoder=bool(args.remat_encoder),
         use_pos_weight=bool(args.use_pos_weight),
+        wire_dtype=args.wire_dtype,
     )
     save_dir = save_dir_for(args.save_dir, cfg.model_name)
 

@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     add_multihost_arg(p)
     p.add_argument("--param_sharding", type=str, default=None,
                    choices=["replicated", "fsdp"])
+    p.add_argument("--wire_dtype", type=str, default=None,
+                   choices=["float32", "int16"],
+                   help="waveform H2D wire format (int16 halves input "
+                        "bandwidth; ops/wire.py)")
     return p
 
 
@@ -89,7 +93,7 @@ def config_from_args(args) -> Stage1Config:
               "alpha_end", "alpha_ramp_epochs", "rawboost_prob",
               "rawboost_mode", "rawboost_fir_impl", "attention_layout",
               "conv_ln_impl", "param_sharding", "max_duration_seconds",
-              "hidden_dim", "input_dim"):
+              "hidden_dim", "input_dim", "wire_dtype"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v
