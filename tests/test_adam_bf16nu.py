@@ -50,6 +50,24 @@ def test_fp32_matches_stock_adamw(problem):
         np.testing.assert_array_equal(np.asarray(a["b"]), np.asarray(b["b"]))
 
 
+def test_custom_core_fp32_storage_matches_stock(problem):
+    """nu_dtype=jnp.float32 (explicit, NOT None) runs the CUSTOM per-leaf
+    core rather than delegating to optax — its hand-rolled bias
+    correction and step must still be bit-equal to stock optax.adamw
+    (review r3: the delegation test alone left this path unverified)."""
+    params, grads_seq = problem
+    ours, state = _trajectory(
+        adamw_storage_dtypes(1e-3, weight_decay=1e-4,
+                             nu_dtype=jnp.float32), params, grads_seq)
+    stock, _ = _trajectory(
+        optax.adamw(1e-3, weight_decay=1e-4), params, grads_seq)
+    for a, b in zip(ours, stock):
+        np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+        np.testing.assert_array_equal(np.asarray(a["b"]), np.asarray(b["b"]))
+    adam_state = state[0] if isinstance(state, tuple) else state
+    assert jax.tree_util.tree_leaves(adam_state.nu)[0].dtype == jnp.float32
+
+
 def test_bf16_mu_matches_stock_mu_dtype(problem):
     """mu_dtype passthrough must reproduce the r2-measured configuration
     (stock optax.adamw(mu_dtype=bf16)) exactly when nu stays fp32."""

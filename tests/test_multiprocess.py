@@ -16,59 +16,21 @@ This supersedes the reference's dead DDP scaffolding
 (reference: stage1_utils.py:156-172) with an executed claim.
 """
 
-import json
-import os
-import socket
-import subprocess
-import sys
-
 import numpy as np
 import pytest
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
 
 
 @pytest.fixture(scope="module")
 def two_proc_result(tmp_path_factory):
-    """Run the 2-process gang once; yield (per-proc results, ckpt dir)."""
+    """Run the 2-process gang once; yield (per-proc results, ckpt dir).
+    Uses the shared launcher (parallel/mp_smoke.launch_gang) — same code
+    path as __graft_entry__'s dryrun leg."""
+    from wav2vec_contr_loss_tpu.parallel.mp_smoke import launch_gang
+
     out_dir = tmp_path_factory.mktemp("mp_smoke")
     out = str(out_dir / "result.json")
     ckpt_dir = str(out_dir / "ckpt")
-    port = _free_port()
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""   # skip slow remote-TPU registration
-    env["JAX_PLATFORMS"] = "cpu"       # worker re-pins via jax.config anyway
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "wav2vec_contr_loss_tpu.parallel.mp_smoke",
-             "--num_processes", "2", "--process_id", str(i),
-             "--port", str(port), "--out", out, "--ckpt_dir", ckpt_dir],
-            cwd=REPO, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(stdout)
-    for p, stdout in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
-    results = []
-    for i in range(2):
-        with open(f"{out}.p{i}") as f:
-            results.append(json.load(f))
+    results = launch_gang(out, ckpt_dir=ckpt_dir, n=2)
     return results, ckpt_dir
 
 

@@ -109,10 +109,16 @@ def test_single_host_tpu_worker_hostnames_not_a_pod(monkeypatch):
     assert calls == [1]
 
 
-def test_auto_init_failure_falls_back_single_host(monkeypatch, capsys):
-    """Auto-detected pod env + initialize() raising must fall back to
-    single-host (logged) rather than propagate; --multihost 1 still raises."""
+def test_genuine_pod_init_failure_fails_fast(monkeypatch):
+    """A GENUINE pod env (>=2 distinct hosts) whose initialize() fails must
+    raise, never silently continue single-host: N hosts each believing they
+    are process 0 would duplicate the run and race checkpoint writes on the
+    shared save_dir. (Detection is strict, so the canonical single-host
+    container — TPU_WORKER_HOSTNAMES=localhost — never reaches initialize
+    at all; see test_single_host_tpu_worker_hostnames_not_a_pod.)"""
     import types
+
+    import pytest
 
     import wav2vec_contr_loss_tpu.utils.distributed as dist
 
@@ -127,16 +133,17 @@ def test_auto_init_failure_falls_back_single_host(monkeypatch, capsys):
         raise ValueError("coordinator_address should be defined.")
 
     monkeypatch.setattr(jax.distributed, "initialize", boom)
-    assert dist.maybe_initialize() is False
-    assert "continuing single-host" in capsys.readouterr().err
+    with pytest.raises(RuntimeError, match="multi-host"):
+        dist.maybe_initialize()
     assert dist._initialized is False
-
-    import pytest
-
-    with pytest.raises(ValueError):
+    with pytest.raises(RuntimeError, match="multi-host"):
         dist.maybe_initialize(force=True)
 
-    # init_from_args under the exact broken env: must be a silent no-op
+    # --multihost 0 is the documented escape hatch even in the broken env
+    args = types.SimpleNamespace(multihost=0)
+    assert dist.init_from_args(args) is False
+
+    # and the canonical single-host container stays a silent no-op
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
     args = types.SimpleNamespace(multihost=None)
     assert dist.init_from_args(args) is False

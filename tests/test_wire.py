@@ -30,11 +30,27 @@ def test_float_requantization_bounded_and_saturating():
     rng = np.random.default_rng(1)
     x = rng.uniform(-1.0, 1.0, size=(8, 512)).astype(np.float32)
     back = np.asarray(dequantize_wire(jnp.asarray(quantize_wire(x))))
-    assert np.abs(back - x).max() <= 0.5 / WIRE_SCALE + 1e-9
+    # 1 LSB bound (0.5 LSB rounding, up to 1 LSB for the near-zero clamp)
+    assert np.abs(back - x).max() <= 1.0 / WIRE_SCALE + 1e-9
     # out-of-range saturates like PCM, never wraps
     loud = np.array([[2.0, -2.0, 1.0, -1.0]], np.float32)
     w = quantize_wire(loud)
     np.testing.assert_array_equal(w, [[32767, -32768, 32767, -32768]])
+
+
+def test_nonzero_set_preserved_for_tiny_samples():
+    """Structural property behind the `wave != 0` attention-mask quirk:
+    quantization must preserve the zero-set exactly in both directions.
+    Plain rounding would zero any |x| < 0.5/32768 (possible after
+    resampling), silently shortening the encoder's computed attention
+    length — the review-caught failure mode this clamp prevents."""
+    tiny = np.array([[1e-9, -1e-9, 1e-6, -1e-6, 0.0, 0.4]], np.float32)
+    w = quantize_wire(tiny)
+    np.testing.assert_array_equal(w != 0, tiny != 0)
+    back = np.asarray(dequantize_wire(jnp.asarray(w)))
+    np.testing.assert_array_equal(back != 0, tiny != 0)
+    # the clamp costs at most 1 LSB of amplitude
+    assert np.abs(back - tiny).max() <= 1.0 / WIRE_SCALE
 
 
 def test_zero_padding_stays_zero():

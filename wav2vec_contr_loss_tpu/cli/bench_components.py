@@ -160,8 +160,8 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
             apply_spec_augment=False)
         input_dim = 32
     # forward-only graph: rolled scan, no remat (same choice as serving)
-    # unroll: see bench_serving — rolled-scan XLS-R compiles die on the
-    # axon remote-compile service; unroll=24 is the measured path there.
+    # unroll: forward-only graphs run rolled or unrolled at similar
+    # speed; docs/SERVING.md's B=32 rows were measured at unroll=24.
     cfg = Stage1Config(batch_size=batch, finetune_encoder=False,
                        use_rawboost=False, input_dim=input_dim,
                        max_duration_seconds=seconds, scan_unroll=unroll,
@@ -264,12 +264,12 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
         input_dim = 32
     # scan_unroll=1 default: the full unroll only pays off in the training
     # bwd (dynamic-slice tax there); a forward-only serving graph runs the
-    # rolled scan at the same speed with a far smaller program. On the
-    # axon remote-compile service, however, every rolled-scan XLS-R
-    # compile (r2: 8 attempts, r3: 1) died at ~30 min with a transport
-    # broken pipe while unrolled train-class programs compiled fine —
-    # `unroll=24` is the workaround that produced the measured numbers
-    # in docs/SERVING.md.
+    # rolled scan at the same speed with a far smaller, faster-compiling
+    # program. (The historical r2/r3 serving-compile failures were NOT a
+    # rolled-vs-unrolled issue — they were params closed over by the jit
+    # being embedded as module literals, fixed in eval/serving.py; both
+    # unroll settings now compile in minutes and both are measured in
+    # docs/SERVING.md.)
     cfg = Stage1Config(batch_size=batch, finetune_encoder=False,
                        use_rawboost=False, input_dim=input_dim,
                        max_duration_seconds=seconds, scan_unroll=unroll,

@@ -140,8 +140,9 @@ class Stage1Config:
     # The second moment stays fp32 (its sqrt sets the step scale);
     # 'float32' restores the reference's exact AdamW numerics in one flag.
     adam_mu_dtype: str = "bfloat16"
-    # AdamW second-moment storage. 'bfloat16' frees ~1.3 GB of HBM
-    # residency+traffic (EMA/rsqrt math stays fp32 — see ops/adam_bf16nu.py
+    # AdamW second-moment storage. 'bfloat16' halves nu's ~1.26 GB fp32
+    # footprint (frees ~630 MB of HBM residency + the matching traffic;
+    # EMA/rsqrt math stays fp32 — see ops/adam_bf16nu.py
     # for the ~0.2%-on-step-scale error bound) and measured +0.9% on-chip
     # (149.2 -> 150.5 clips/s, r3); also the enabler (with remat_conv) for
     # bs=64 finetuning in one v5e's HBM. 'float32' restores the

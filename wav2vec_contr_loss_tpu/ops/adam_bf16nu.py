@@ -4,16 +4,18 @@ The r3 profile at the 149.2 clips/s default recipe (docs/PROFILE_r3.md)
 attributes ~14% of step time to f32 fusions over the stacked encoder
 parameters — grads + Adam state + params read/written once per step. The
 first moment already stores in bf16 (`adam_mu_dtype`, r2, default); this
-transform extends the same treatment to `nu`, halving its HBM residency
-and traffic (~1.3 GB for the 315M-param encoder).
+transform extends the same treatment to `nu`, halving its ~1.26 GB fp32
+footprint for the 315M-param encoder (~630 MB freed).
 
 Math stays fp32: both moments are upcast before the exponential-moving-
 average update and the rsqrt step-size computation; only the STORAGE dtype
 drops. The bf16 mantissa (8 bits) bounds the relative nu error at ~0.4%,
 i.e. ~0.2% on the sqrt step scale — measured against fp32 Adam in
-tests/test_adam_bf16nu.py. Non-default (`adam_nu_dtype='float32'` is the
-config default) until a full training run bounds the end-metric effect;
-the reference's AdamW keeps everything fp32 (train_stage1.py:93-96).
+tests/test_adam_bf16nu.py. ADOPTED AS THE CONFIG DEFAULT in r3
+(`adam_nu_dtype='bfloat16'`, measured +0.9%: 149.2 -> 150.5 clips/s);
+`adam_nu_dtype='float32'` restores the reference's exact AdamW
+step-scale in one flag (the reference keeps everything fp32,
+train_stage1.py:93-96). PARITY.md deviation #7.
 """
 
 from __future__ import annotations

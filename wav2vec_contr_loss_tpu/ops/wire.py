@@ -10,11 +10,13 @@ on a PCIe-fed TPU host it halves a much smaller cost).
 
 Fidelity: for PCM-sourced audio that was NOT resampled the round trip
 is EXACT (same /32768 scale as the decoder). Resampled or synthetic
-float audio re-quantizes at most 1/65536 per sample (~-96 dB) — orders
+float audio re-quantizes at most 1/32768 per sample (~-90 dB; nonzero
+samples are clamped to at least +-1 LSB, see quantize_wire) — orders
 of magnitude below the RawBoost augmentation noise (SNR 10-40 dB) and
 the bf16 encoder mantissa. Values outside [-1, 1) saturate like PCM
-would. Zero padding maps to zero exactly, so the reference's
-`wave != 0` attention-mask quirk is unaffected.
+would. The `wave != 0` zero-set is preserved BOTH ways (zeros stay
+zero, nonzeros stay nonzero), so the reference's attention-mask quirk
+sees the identical mask through the wire.
 
 Non-default (`wire_dtype='float32'`) because it is a representation
 deviation, however small; flip it in Stage1Config/BaselineConfig when
@@ -33,9 +35,18 @@ WIRE_SCALE = 32768.0
 
 
 def quantize_wire(wave_f32: np.ndarray) -> np.ndarray:
-    """Host side: float32 waveforms -> int16 with the decoder's scale."""
-    x = np.round(np.asarray(wave_f32, np.float32) * WIRE_SCALE)
-    return np.clip(x, -32768.0, 32767.0).astype(np.int16)
+    """Host side: float32 waveforms -> int16 with the decoder's scale.
+
+    Nonzero samples are clamped away from zero (to +-1 LSB) so the
+    encoder's `wave != 0` attention-mask quirk sees EXACTLY the same mask
+    through the wire: plain rounding would send any |x| < 0.5/32768
+    (possible after resampling/augmentation) to exact 0, silently
+    shortening the computed attention length — a structural deviation,
+    unlike the harmless <=1-LSB amplitude rounding this costs instead."""
+    x = np.asarray(wave_f32, np.float32)
+    q = np.round(x * WIRE_SCALE)
+    q = np.where((q == 0) & (x != 0), np.sign(x), q)
+    return np.clip(q, -32768.0, 32767.0).astype(np.int16)
 
 
 def dequantize_wire(wave: jnp.ndarray) -> jnp.ndarray:

@@ -128,6 +128,61 @@ def run_smoke(ckpt_dir: Optional[str] = None) -> Dict:
     }
 
 
+def launch_gang(out: str, ckpt_dir: Optional[str] = None, n: int = 2,
+                timeout: int = 600) -> List[Dict]:
+    """Spawn the N-process smoke gang and return each worker's result dict.
+
+    One launcher for every caller (tests/test_multiprocess.py fixture and
+    __graft_entry__'s dryrun leg — review r3: the two had drifted copies):
+    picks a free coordinator port, scrubs the axon env pins, runs N
+    `mp_smoke` workers to completion, and raises with the worker log tail
+    on any nonzero exit or timeout. Result files `<out>.p<i>` are left on
+    disk for the caller (the dryrun deletes them, the test fixture's
+    tmpdir handles it)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # skip slow remote-TPU registration
+    env["JAX_PLATFORMS"] = "cpu"      # worker re-pins via jax.config anyway
+    cmd_tail = ["--num_processes", str(n), "--port", str(port), "--out", out]
+    if ckpt_dir is not None:
+        cmd_tail += ["--ckpt_dir", ckpt_dir]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m",
+             "wav2vec_contr_loss_tpu.parallel.mp_smoke",
+             "--process_id", str(i)] + cmd_tail,
+            env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(n)
+    ]
+    logs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=timeout)
+            logs.append(stdout)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise RuntimeError(f"{n}-proc smoke gang timed out")
+    for p, log in zip(procs, logs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"{n}-proc smoke worker failed:\n{log[-4000:]}")
+    results = []
+    for i in range(n):
+        with open(f"{out}.p{i}") as f:
+            results.append(json.load(f))
+    return results
+
+
 def main(argv=None) -> None:
     """Worker entry: set up the platform/topology, run, dump JSON.
 

@@ -102,7 +102,11 @@ def _recover(path: str) -> None:
     if os.path.exists(path):
         return
     tmp, old = path + ".saving", path + ".replaced"
-    if os.path.isdir(tmp) and not os.path.islink(tmp):
+    # a `.saving` dir WITHOUT its staged sidecar is an in-flight save
+    # (Orbax finished, sidecar not yet written) — not adoptable: pairing
+    # it with no/stale config is exactly what the staging prevents
+    if (os.path.isdir(tmp) and not os.path.islink(tmp)
+            and os.path.exists(tmp + ".config.json")):
         _rename_with_sidecar(tmp, path)
     elif os.path.isdir(old) and not os.path.islink(old):
         _rename_with_sidecar(old, path)
@@ -111,9 +115,15 @@ def _recover(path: str) -> None:
 def _resolve_readable(path: str) -> Optional[str]:
     """READER-SIDE crash-window fallback: never renames. Returns the best
     complete copy of the checkpoint (`path` itself, else the stranded
-    `.saving` new state, else the `.replaced` previous state), or None."""
-    for cand in (path, path + ".saving", path + ".replaced"):
-        if os.path.isdir(cand):
+    `.saving` new state, else the `.replaced` previous state), or None.
+
+    A fallback candidate counts only WITH its staged sidecar: a sidecar-less
+    `.saving` is an in-flight save (a poller would see exists()==True and
+    then crash reading the missing config — review r3 finding)."""
+    if os.path.isdir(path):
+        return path
+    for cand in (path + ".saving", path + ".replaced"):
+        if os.path.isdir(cand) and os.path.exists(cand + ".config.json"):
             return cand
     return None
 

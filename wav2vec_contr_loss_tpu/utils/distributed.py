@@ -17,7 +17,6 @@ activated).
 from __future__ import annotations
 
 import os
-import sys
 
 __all__ = ["maybe_initialize", "add_multihost_arg", "init_from_args"]
 
@@ -71,23 +70,28 @@ def maybe_initialize(force: bool = False) -> bool:
         # jax raises "distributed.initialize should only be called once."
         msg = str(e).lower()
         if "once" not in msg and "already" not in msg:
-            if force:
-                raise
-            print(f"[distributed] auto-detected pod env but "
-                  f"jax.distributed.initialize() failed ({e}); continuing "
-                  f"single-host", file=sys.stderr)
-            return False
+            raise RuntimeError(
+                "jax.distributed.initialize() failed on what looks like a "
+                "genuine multi-host launch (coordinator marker or >=2 "
+                "TPU_WORKER_HOSTNAMES). Failing fast: continuing "
+                "single-host here would let EVERY pod host train on the "
+                "full global batch and race checkpoint writes on the "
+                "shared save_dir. Pass --multihost 0 to force a "
+                "single-host run."
+            ) from e
     except ValueError as e:
-        # e.g. "coordinator_address should be defined" — the env looked like
-        # a pod but JAX's own ClusterEnv found no cluster. An explicit
-        # --multihost 1 is a user error worth surfacing; auto-detection
-        # falls back to single-host so the CLIs keep working.
-        if force:
-            raise
-        print(f"[distributed] auto-detected pod env but "
-              f"jax.distributed.initialize() failed ({e}); continuing "
-              f"single-host", file=sys.stderr)
-        return False
+        # e.g. "coordinator_address should be defined". Detection is
+        # strict (>=2 distinct hosts / explicit coordinator marker —
+        # TPU_WORKER_HOSTNAMES=localhost never gets here), so a failure
+        # means a real pod whose runtime is broken; a silent single-host
+        # fallback would duplicate the run N times (each host with
+        # process_index()==0, defeating the checkpoint process-0 gating).
+        raise RuntimeError(
+            "jax.distributed.initialize() failed on what looks like a "
+            "genuine multi-host launch; refusing to silently fall back "
+            "to single-host (duplicated runs would race on save_dir). "
+            "Pass --multihost 0 to force a single-host run."
+        ) from e
     _initialized = True
     return True
 
