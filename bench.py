@@ -51,6 +51,8 @@ def main(argv=None) -> None:
                     default=None)
     ap.add_argument("--adam_mu_dtype", choices=["float32", "bfloat16"],
                     default=None)
+    ap.add_argument("--grad_dtype", choices=["float32", "bfloat16"],
+                    default=None)
     ap.add_argument("--adam_nu_dtype", choices=["float32", "bfloat16"],
                     default=None)
     ap.add_argument("--attention_layout", choices=["bhqk", "bqhk"],
@@ -104,6 +106,7 @@ def main(argv=None) -> None:
             ("layer_mean_dtype", args.layer_mean_dtype),
             ("adam_mu_dtype", args.adam_mu_dtype),
             ("adam_nu_dtype", args.adam_nu_dtype),
+            ("grad_dtype", args.grad_dtype),
             ("attention_layout", args.attention_layout),
             ("rawboost_fir_impl", args.fir),
             ("conv_ln_impl", args.conv_ln),

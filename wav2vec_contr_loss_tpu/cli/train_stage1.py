@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "int16"],
                    help="waveform H2D wire format (int16 halves input "
                         "bandwidth; ops/wire.py)")
+    p.add_argument("--grad_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="encoder weight-gradient dtype (bfloat16 halves "
+                        "the dW band's HBM writes; fp32 Adam math)")
     return p
 
 
@@ -93,7 +97,7 @@ def config_from_args(args) -> Stage1Config:
               "alpha_end", "alpha_ramp_epochs", "rawboost_prob",
               "rawboost_mode", "rawboost_fir_impl", "attention_layout",
               "conv_ln_impl", "param_sharding", "max_duration_seconds",
-              "hidden_dim", "input_dim", "wire_dtype"):
+              "hidden_dim", "input_dim", "wire_dtype", "grad_dtype"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v

@@ -149,6 +149,17 @@ class Stage1Config:
     # reference's exact AdamW step-scale in one flag (PARITY.md deviation
     # #7).
     adam_nu_dtype: str = "bfloat16"
+    # Weight-gradient dtype for the scan-stacked encoder matmul kernels.
+    # 'bfloat16' differentiates w.r.t. the bf16-cast kernel tree, so the
+    # dW matmuls (13.8% of the step, docs/PROFILE_r3.md) write bf16 —
+    # halving their HBM output traffic and the optimizer's gradient reads
+    # (and, under dp, the gradient all-reduce bytes on ICI). The forward
+    # is BIT-IDENTICAL (kernels are cast to bf16 at use anyway; only the
+    # storage point of the cast moves); the only deviation is bf16
+    # rounding of dW before the fp32 Adam math (MXU still accumulates the
+    # dW contraction in fp32) — same class as adam_mu/nu_dtype. Requires
+    # compute_dtype='bfloat16'. 'float32' is the reference-exact default.
+    grad_dtype: str = "float32"
 
     def replace(self, **kw) -> "Stage1Config":
         return dataclasses.replace(self, **kw)

@@ -69,8 +69,11 @@ def _scale_by_adam_storage(
             g32 = g.astype(f32)
             m32 = b1 * m.astype(f32) + (1 - b1) * g32
             v32 = b2 * v.astype(f32) + (1 - b2) * jnp.square(g32)
+            # update stays f32 even for reduced-precision grads (it feeds
+            # weight decay + the f32 master-param apply); for f32 grads
+            # this is the identity cast optax itself performs
             out = ((m32 / bc1) /
-                   (jnp.sqrt(v32 / bc2 + eps_root) + eps)).astype(g.dtype)
+                   (jnp.sqrt(v32 / bc2 + eps_root) + eps)).astype(f32)
             return (out,
                     m32.astype(mu_dtype) if mu_dtype else m32,
                     v32.astype(nu_dtype) if nu_dtype else v32)
@@ -94,13 +97,17 @@ def adamw_storage_dtypes(
     eps: float = 1e-8,
     mu_dtype=None,
     nu_dtype=None,
+    force_core: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW with independent storage dtypes for both moments.
 
     nu_dtype=None delegates to stock optax.adamw (mu_dtype passthrough) so
     the default path is exactly what r2 measured; nu_dtype=bf16 swaps in
-    the storage-dtype Adam core with the same decay/schedule plumbing."""
-    if nu_dtype is None:
+    the storage-dtype Adam core with the same decay/schedule plumbing.
+    force_core=True always uses the storage-dtype core — required for
+    reduced-precision gradients (`grad_dtype='bfloat16'`), where stock
+    optax would run the EMA math in the gradient dtype instead of fp32."""
+    if nu_dtype is None and not force_core:
         return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay, mu_dtype=mu_dtype)
     return optax.chain(

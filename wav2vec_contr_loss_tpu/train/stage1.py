@@ -83,6 +83,30 @@ def _param_groups(params: Dict, freeze_fx: bool = False) -> Dict:
     return labels
 
 
+def cast_stacked_kernels_bf16(params: Dict) -> Dict:
+    """bf16 view of the scan-stacked encoder matmul kernels
+    (encoder.layers.**.kernel — the [24,1024,1024]/[24,1024,4096]/
+    [24,4096,1024] leaves behind the dW band in docs/PROFILE_r3.md).
+
+    Differentiating w.r.t. this tree makes the weight-gradient matmuls
+    emit bf16 instead of f32 (the MXU contraction still accumulates
+    fp32). The forward is unchanged: these kernels are cast to the bf16
+    compute dtype at use anyway, so only WHERE the cast happens moves.
+    LN scales and biases (also stacked, but tiny and consumed by fp32
+    elementwise math) stay f32."""
+    if "encoder" not in params or "layers" not in params["encoder"]:
+        return params
+
+    def cast(path, leaf):
+        last = path[-1]
+        key = getattr(last, "key", last)
+        return leaf.astype(jnp.bfloat16) if key == "kernel" else leaf
+
+    layers = jax.tree_util.tree_map_with_path(
+        cast, params["encoder"]["layers"])
+    return {**params, "encoder": {**params["encoder"], "layers": layers}}
+
+
 def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransformation:
     """Reference param groups: head clipped@5.0 + AdamW(head_lr); encoder
     AdamW(enc_lr); shared weight decay (train_stage1.py:93-96).
@@ -94,6 +118,9 @@ def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransforma
                 == "bfloat16" else None)
     nu_dtype = (jnp.bfloat16 if getattr(cfg, "adam_nu_dtype", "float32")
                 == "bfloat16" else None)
+    # bf16 encoder grads need the fp32-math Adam core even when both
+    # moments store fp32 (stock optax runs EMA math in the grad dtype)
+    grad_bf16 = getattr(cfg, "grad_dtype", "float32") == "bfloat16"
     from ..ops.adam_bf16nu import adamw_storage_dtypes
 
     head_tx = optax.chain(
@@ -102,7 +129,8 @@ def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransforma
                              mu_dtype=mu_dtype, nu_dtype=nu_dtype),
     )
     enc_tx = adamw_storage_dtypes(cfg.enc_lr, weight_decay=cfg.weight_decay,
-                                  mu_dtype=mu_dtype, nu_dtype=nu_dtype)
+                                  mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+                                  force_core=grad_bf16)
     freeze_fx = getattr(cfg, "freeze_feature_extractor", False)
     return optax.multi_transform(
         {"head": head_tx, "encoder": enc_tx, "frozen": optax.set_to_zero()},
@@ -274,6 +302,15 @@ class Stage1Trainer:
 
     def _build_steps(self) -> None:
         cfg = self.cfg
+        grad_bf16 = getattr(cfg, "grad_dtype", "float32") == "bfloat16"
+        if grad_bf16 and cfg.compute_dtype != "bfloat16":
+            # with an fp32 compute dtype the bf16 kernel cast would CHANGE
+            # the forward (kernels would round-trip through bf16 before the
+            # fp32 matmuls) — refuse instead of silently deviating
+            raise ValueError(
+                "grad_dtype='bfloat16' requires compute_dtype='bfloat16' "
+                "(the forward already consumes bf16-cast kernels there, so "
+                "moving the cast is numerically free)")
 
         def dewire(batch: Dict) -> Dict:
             # int16 wire batches -> f32 at the single graph entry point
@@ -321,7 +358,9 @@ class Stage1Trainer:
                     z = self._embed(params, frozen, batch, True, k_fwd)
                     return self._loss(z, batch, alpha)
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                cast_stacked_kernels_bf16(state.params)
+                if grad_bf16 else state.params)
             updates, opt_state = self.tx.update(
                 grads, state.opt_state, state.params
             )
