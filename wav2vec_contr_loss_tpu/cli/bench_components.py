@@ -239,7 +239,8 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
 
 
 def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
-                  model: str = "xlsr", unroll: int = 1) -> dict:
+                  model: str = "xlsr", unroll: int = 1,
+                  quantize: str = "none") -> dict:
     """End-to-end serving latency: waveform batch -> spoof logits through
     the fused SpoofScorer graph (encoder + compression + pooling + head in
     one jit — the reference's two-process .npy pipeline collapsed,
@@ -282,7 +283,8 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
     import jax.numpy as jnp
     head_params = head.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, cfg.hidden_dim)))["params"]
-    scorer = SpoofScorer(trainer, state, cfg2, head_params)
+    scorer = SpoofScorer(trainer, state, cfg2, head_params,
+                         quantize=quantize)
 
     rng = np.random.default_rng(0)
     t = seconds * cfg.target_sample_rate
@@ -317,6 +319,7 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
     lat_w = np.sort(np.asarray(lat_w))
     return {
         "serving_batch": batch,
+        "serving_quant": quantize,
         "serving_p50_ms": round(float(lat[len(lat) // 2]), 2),
         "serving_p95_ms": round(float(lat[int(len(lat) * 0.95)]), 2),
         "serving_clips_per_sec": round(float(batch / (lat.mean() / 1e3)), 1),
@@ -343,6 +346,9 @@ def main(argv=None) -> None:
     p.add_argument("--serving_seconds", type=int, default=5)
     p.add_argument("--serving_repeats", type=int, default=30)
     p.add_argument("--serving_unroll", type=int, default=1)
+    p.add_argument("--serving_quant", type=str, default="none",
+                   choices=["none", "w8a8", "w8"],
+                   help="int8 serving quantization (ops/quant.py)")
     args = p.parse_args(argv)
     from ..utils.compile_cache import enable_compile_cache
 
@@ -359,11 +365,13 @@ def main(argv=None) -> None:
                                      seconds=args.serving_seconds,
                                      repeats=args.serving_repeats,
                                      model=args.serving_model,
-                                     unroll=args.serving_unroll))
+                                     unroll=args.serving_unroll,
+                                     quantize=args.serving_quant))
     if args.which == "extract":  # not in 'all': compiles a full encoder
         results.update(bench_extract(batch=args.extract_batch,
                                      model=args.serving_model,
-                                     unroll=args.serving_unroll))
+                                     unroll=args.serving_unroll,
+                                     quantize=args.serving_quant))
     print(json.dumps(results))
 
 

@@ -121,6 +121,11 @@ def main(argv=None) -> None:
                    choices=["float32", "int16"],
                    help="host->device waveform format; int16 halves H2D "
                         "bytes (exact for unresampled PCM)")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "w8a8", "w8"],
+                   help="int8 encoder quantization: 'w8a8' rides the "
+                        "2x-rate int8 MXU, 'w8' halves weight HBM "
+                        "reads (ops/quant.py)")
     p.add_argument("--threshold", type=float, default=None,
                    help="optional decision threshold: adds a third column "
                         "bonafide/spoof (e.g. the dev-EER threshold printed "
@@ -131,7 +136,8 @@ def main(argv=None) -> None:
 
     scorer = SpoofScorer.from_checkpoints(
         args.stage1_dir, args.stage2_dir,
-        stage1_name=args.stage1_name, stage2_name=args.stage2_name)
+        stage1_name=args.stage1_name, stage2_name=args.stage2_name,
+        quantize=args.quantize)
     audio_cfg = AudioConfig(target_sample_rate=args.target_sample_rate,
                             max_duration_seconds=args.max_duration_seconds)
 

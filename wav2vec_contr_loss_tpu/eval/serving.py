@@ -30,7 +30,7 @@ class SpoofScorer:
     """Stage-1 backbone + stage-2 head as one compiled scoring function."""
 
     def __init__(self, trainer: Stage1Trainer, state, stage2_cfg: Stage2Config,
-                 head_params: Dict):
+                 head_params: Dict, quantize: str = "none"):
         self.trainer = trainer
         self.state = state
         self.head = build_head(stage2_cfg.head_type, stage2_cfg.hidden_dim,
@@ -38,14 +38,25 @@ class SpoofScorer:
 
         enc = trainer.encoder
         comp = trainer.compression
+        raw_enc_params = (state.params.get("encoder")
+                          or state.frozen.get("encoder"))
+        if quantize != "none":
+            # int8 serving (ops/quant.py): same graph with the transformer
+            # Dense matmuls quantized — 'w8a8' rides the 2x-rate int8 MXU,
+            # 'w8' halves weight HBM reads. fp32 checkpoints are quantized
+            # here, at bind time; nothing on disk changes.
+            from ..models.wav2vec2 import Wav2Vec2Encoder
+            from ..ops.quant import quantize_encoder_params
+
+            enc = Wav2Vec2Encoder(trainer.enc_config.with_(quant=quantize))
+            raw_enc_params = quantize_encoder_params(raw_enc_params)
         # Params MUST be jit ARGUMENTS, not closure captures: a closed-over
         # array is embedded into the lowered module as a literal constant,
         # so the XLS-R graph became a multi-GB HLO upload that the axon
         # remote-compile service dropped mid-transfer (every r2/r3
         # serving-compile 'Broken pipe' traced to this; measured: 64 MB of
         # closed-over params -> 134 MB module vs 1.7 KB with arguments).
-        enc_params = jax.device_put(
-            state.params.get("encoder") or state.frozen.get("encoder"))
+        enc_params = jax.device_put(raw_enc_params)
         comp_params = jax.device_put(state.params["compression"])
         head_params = jax.device_put(head_params)
         self.head_params = head_params
@@ -66,13 +77,13 @@ class SpoofScorer:
     def from_checkpoints(cls, stage1_dir: str, stage2_dir: str,
                          stage1_name: str = "best",
                          stage2_name: str = "stage2_binary_head_best",
-                         mesh=None) -> "SpoofScorer":
+                         mesh=None, quantize: str = "none") -> "SpoofScorer":
         from ..cli.generate_scores import load_stage2_head
 
         trainer, state = Stage1Trainer.from_checkpoint(stage1_dir, stage1_name,
                                                        mesh=mesh)
         cfg2, head_params = load_stage2_head(stage2_dir, stage2_name)
-        return cls(trainer, state, cfg2, head_params)
+        return cls(trainer, state, cfg2, head_params, quantize=quantize)
 
     def score_waveforms(self, waves: np.ndarray,
                         wire: str = "float32") -> np.ndarray:

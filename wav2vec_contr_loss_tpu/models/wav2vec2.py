@@ -119,6 +119,13 @@ class Wav2Vec2Config:
     # (fused VMEM LN+GELU fwd/bwd — one HBM pass each way instead of
     # XLA's several over the huge early activations)
     conv_ln_impl: str = "xla"
+    # int8 quantization of the transformer's Dense matmuls — SERVING ONLY
+    # (round() has zero gradient; trainers keep 'none'). 'w8a8' runs the
+    # contractions int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e)
+    # with dynamic per-token activation scales; 'w8' is weight-only int8
+    # (half the weight HBM reads, bf16 accumulation). Param trees come
+    # from ops/quant.quantize_encoder_params.
+    quant: str = "none"
 
     def with_(self, **kw) -> "Wav2Vec2Config":
         return dataclasses.replace(self, **kw)
@@ -226,6 +233,20 @@ def _dropout(mod: nn.Module, cfg: "Wav2Vec2Config", x: jnp.ndarray,
 
         return murmur_dropout(x, mod.make_rng("dropout"), rate)
     return nn.Dropout(rate)(x, deterministic=False)
+
+
+def _linear(cfg: "Wav2Vec2Config", features: int, name: str) -> nn.Module:
+    """Transformer Dense factory: fp32-param bf16-matmul Dense, or the
+    int8 QuantDense when cfg.quant != 'none' (serving only — ops/quant.py).
+    Same param names either way; quantized trees come from
+    quantize_encoder_params, so checkpoints always store fp32."""
+    if cfg.quant != "none":
+        from ..ops.quant import QuantDense
+
+        return QuantDense(features, dtype=cfg.dtype, mode=cfg.quant,
+                          name=name)
+    return nn.Dense(features, dtype=cfg.dtype, param_dtype=jnp.float32,
+                    name=name)
 
 
 class _LNParams(nn.Module):
@@ -354,11 +375,9 @@ class SelfAttention(nn.Module):
         cfg = self.config
         d, h = cfg.hidden_size, cfg.num_heads
         hd = d // h
-        dense = lambda name: nn.Dense(d, dtype=cfg.dtype, param_dtype=jnp.float32,
-                                      name=name)
+        dense = lambda name, feat=d: _linear(cfg, feat, name)
         if cfg.fused_qkv:
-            qkv = nn.Dense(3 * d, dtype=cfg.dtype, param_dtype=jnp.float32,
-                           name="qkv_proj")(x)
+            qkv = dense("qkv_proj", 3 * d)(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q * (hd ** -0.5)
         else:
@@ -417,14 +436,12 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         cfg = self.config
-        x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
-                     param_dtype=jnp.float32, name="intermediate_dense")(x)
+        x = _linear(cfg, cfg.intermediate_size, "intermediate_dense")(x)
         # named so remat_policy='dots_ffact' can keep the (B,T,4I) GELU
         # output resident instead of re-running erf in the bwd recompute
         x = checkpoint_name(jax.nn.gelu(x, approximate=False), "ffn_act")
         x = _dropout(self, cfg, x, cfg.activation_dropout, deterministic)
-        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=jnp.float32,
-                     name="output_dense")(x)
+        x = _linear(cfg, cfg.hidden_size, "output_dense")(x)
         return _dropout(self, cfg, x, cfg.hidden_dropout, deterministic)
 
 
