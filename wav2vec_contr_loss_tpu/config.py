@@ -300,6 +300,7 @@ class BaselineConfig:
     dropout_impl: str = "murmur"
     softmax_dtype: str = "bfloat16"
     adam_mu_dtype: str = "bfloat16"
+    adam_nu_dtype: str = "bfloat16"   # same adoption as Stage1Config (r3)
     rawboost_fir_impl: str = "fft"
     param_sharding: str = "replicated"  # | 'fsdp' (see Stage1Config)
 

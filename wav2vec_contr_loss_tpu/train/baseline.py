@@ -109,16 +109,20 @@ class BaselineTrainer:
         labels = {k: ("encoder" if k == "encoder" else "head") for k in trainable}
         mu_dtype = (jnp.bfloat16 if getattr(cfg, "adam_mu_dtype", "float32")
                     == "bfloat16" else None)
+        nu_dtype = (jnp.bfloat16 if getattr(cfg, "adam_nu_dtype", "float32")
+                    == "bfloat16" else None)
+        from ..ops.adam_bf16nu import adamw_storage_dtypes
+
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.multi_transform(
                 {
-                    "head": optax.adamw(cfg.head_lr,
-                                        weight_decay=cfg.weight_decay,
-                                        mu_dtype=mu_dtype),
-                    "encoder": optax.adamw(cfg.enc_lr,
-                                           weight_decay=cfg.weight_decay,
-                                           mu_dtype=mu_dtype),
+                    "head": adamw_storage_dtypes(
+                        cfg.head_lr, weight_decay=cfg.weight_decay,
+                        mu_dtype=mu_dtype, nu_dtype=nu_dtype),
+                    "encoder": adamw_storage_dtypes(
+                        cfg.enc_lr, weight_decay=cfg.weight_decay,
+                        mu_dtype=mu_dtype, nu_dtype=nu_dtype),
                 },
                 labels,
             ),
