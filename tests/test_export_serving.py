@@ -1,0 +1,124 @@
+"""jax.export serving artifact: self-contained scoring without model code.
+
+Contract: `SpoofScorer.export` -> bytes -> `load_exported` reproduces the
+live scorer's logits on the exported (batch, T) signature, including the
+int16 wire and int8-quantized variants, and the CLI writes a loadable
+file. (The reference has no export story — deployment is Python + torch +
+checkpoints; SURVEY.md §3.3.)
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from wav2vec_contr_loss_tpu.config import Stage1Config, Stage2Config
+from wav2vec_contr_loss_tpu.eval.serving import SpoofScorer, load_exported
+from wav2vec_contr_loss_tpu.models.heads import build_head
+from wav2vec_contr_loss_tpu.models.wav2vec2 import Wav2Vec2Config
+from wav2vec_contr_loss_tpu.ops.wire import quantize_wire
+from wav2vec_contr_loss_tpu.train import Stage1Trainer
+
+TINY_ENC = Wav2Vec2Config(
+    hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+    conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    dtype=jnp.float32, apply_spec_augment=False,
+)
+
+
+def _tiny_scorer(quantize="none"):
+    import jax
+
+    cfg = Stage1Config(batch_size=4, finetune_encoder=False,
+                       use_rawboost=False, input_dim=32, hidden_dim=16,
+                       max_duration_seconds=1, compute_dtype="float32")
+    trainer = Stage1Trainer(cfg, enc_config=TINY_ENC)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    cfg2 = Stage2Config(hidden_dim=16)
+    head = build_head(cfg2.head_type, cfg2.hidden_dim, cfg2.dropout)
+    head_params = head.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, cfg.hidden_dim)))["params"]
+    return SpoofScorer(trainer, state, cfg2, head_params, quantize=quantize)
+
+
+def _waves(batch=4, t=16000):
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.2, (batch, t)).astype(np.float32)
+    w[:, 12000:] = 0.0
+    return w
+
+
+def test_export_roundtrip(tmp_path):
+    scorer = _tiny_scorer()
+    waves = _waves()
+    want = scorer.score_waveforms(waves)
+
+    blob = scorer.export(batch=4, platforms=("cpu",))
+    path = tmp_path / "scorer.jaxexport"
+    path.write_bytes(blob)
+    fn = load_exported(str(path))
+    got = np.asarray(fn(jnp.asarray(waves)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_int16_wire_and_quantized(tmp_path):
+    scorer = _tiny_scorer(quantize="w8")
+    waves = _waves()
+    want = scorer.score_waveforms(waves, wire="int16")
+
+    blob = scorer.export(batch=4, wire="int16", platforms=("cpu",))
+    path = tmp_path / "scorer_w8.jaxexport"
+    path.write_bytes(blob)
+    fn = load_exported(str(path))
+    got = np.asarray(fn(jnp.asarray(quantize_wire(waves))))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_cli(tmp_path):
+    """CLI writes a loadable artifact from real checkpoints."""
+    import jax
+
+    from wav2vec_contr_loss_tpu.cli import export_serving
+    from wav2vec_contr_loss_tpu.data import (
+        AudioConfig, BatchPipeline, parse_asvspoof2019)
+    from wav2vec_contr_loss_tpu.data.audio import write_wav
+    from wav2vec_contr_loss_tpu.train import train_stage2
+
+    SR = 16000
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(8):
+        name = f"c{i:03d}.wav"
+        x = (0.4 * np.sin(2 * np.pi * 330 * np.arange(SR) / SR)
+             if i % 2 == 0 else 0.2 * rng.standard_normal(SR))
+        write_wav(tmp_path / name, x.astype(np.float32), SR)
+        lines.append(f"d/{name} {'-' if i % 2 == 0 else 'A01'} "
+                     f"{'bonafide' if i % 2 == 0 else 'spoof'} - S0")
+    (tmp_path / "p.txt").write_text("\n".join(lines) + "\n")
+    ds = parse_asvspoof2019(str(tmp_path / "p.txt"), str(tmp_path),
+                            audio=AudioConfig(SR, 1))
+
+    cfg = Stage1Config(epochs=1, batch_size=8, input_dim=32, hidden_dim=16,
+                       max_duration_seconds=1, use_rawboost=False,
+                       finetune_encoder=False, compute_dtype="float32",
+                       seed=0)
+    trainer = Stage1Trainer(cfg, enc_config=TINY_ENC)
+    state = trainer.init_state()
+    pipe = BatchPipeline(ds, 8, seed=0, num_workers=2)
+    state, _ = trainer.fit(state, pipe, save_dir=str(tmp_path / "s1"))
+    embs, labels = trainer.embed_dataset(state, pipe)
+    train_stage2(Stage2Config(epochs=2, batch_size=8, seed=0), embs, labels,
+                 embs, labels, save_dir=str(tmp_path / "s2"))
+
+    out = str(tmp_path / "scorer.jaxexport")
+    export_serving.main([
+        "--stage1_dir", str(tmp_path / "s1"),
+        "--stage2_dir", str(tmp_path / "s2"),
+        "--out", out, "--batch", "8", "--platforms", "cpu",
+    ])
+    fn = load_exported(out)
+    scorer = SpoofScorer.from_checkpoints(str(tmp_path / "s1"),
+                                          str(tmp_path / "s2"))
+    waves = _waves(batch=8)  # divisible by the 8-device test mesh
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(waves))),
+                               scorer.score_waveforms(waves), atol=1e-5)

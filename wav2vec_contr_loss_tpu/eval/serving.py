@@ -23,7 +23,18 @@ from ..models.heads import build_head
 from ..ops.wire import dequantize_wire, quantize_wire
 from ..train.stage1 import Stage1Trainer
 
-__all__ = ["SpoofScorer"]
+__all__ = ["SpoofScorer", "load_exported"]
+
+
+def load_exported(path: str):
+    """Load a `SpoofScorer.export` artifact -> callable (B, T) waveforms
+    (f32, or int16 if exported with wire='int16') -> (B,) logits. Needs
+    only jax — no model code, no checkpoints."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(bytearray(f.read()))
+    return jax.jit(exp.call)
 
 
 class SpoofScorer:
@@ -70,6 +81,8 @@ class SpoofScorer:
             z = clip_embedding(seq)
             return self.head.apply({"params": head_p}, z)
 
+        self._params = (enc_params, comp_params, head_params)
+        self._score_core = score
         self._score = lambda waves: score(enc_params, comp_params,
                                           head_params, waves)
 
@@ -84,6 +97,34 @@ class SpoofScorer:
                                                        mesh=mesh)
         cfg2, head_params = load_stage2_head(stage2_dir, stage2_name)
         return cls(trainer, state, cfg2, head_params, quantize=quantize)
+
+    def export(self, batch: int, wire: str = "float32",
+               platforms=("tpu", "cpu")) -> bytes:
+        """Serialize the fused scoring graph (weights INCLUDED) to a
+        portable jax.export/StableHLO artifact.
+
+        The artifact is self-contained: `load_exported(path)(waves)`
+        scores without any model code or checkpoints — the deployment
+        story the reference lacks entirely (it ships Python + torch +
+        .npy plumbing). Weights are baked in as module constants, which
+        is intentional for an artifact (unlike the jit-closure bug this
+        file's __init__ documents, where a *compile service upload* paid
+        for them on every compile); quantize='w8'/'w8a8' shrinks the
+        baked encoder 4x to int8. `wire='int16'` exports an int16-PCM
+        input signature (half-size input buffers, ops/wire.py).
+
+        Multi-platform by default: one artifact runs on TPU hosts and on
+        CPU (jax handles the platform dispatch on call)."""
+        from jax import export as jexport
+
+        cfg = self.trainer.cfg
+        t = cfg.max_duration_seconds * cfg.target_sample_rate
+        enc_p, comp_p, head_p = self._params
+        fn = jax.jit(lambda w: self._score_core(enc_p, comp_p, head_p, w))
+        dtype = jnp.int16 if wire == "int16" else jnp.float32
+        spec = jax.ShapeDtypeStruct((batch, t), dtype)
+        exp = jexport.export(fn, platforms=list(platforms))(spec)
+        return exp.serialize()
 
     def score_waveforms(self, waves: np.ndarray,
                         wire: str = "float32") -> np.ndarray:
