@@ -74,6 +74,42 @@ def test_export_int16_wire_and_quantized(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_serve_from_artifact(tmp_path, capsys):
+    """cli.serve --artifact: daemon scores from the exported file alone —
+    batch, clip length, and wire format recovered from the baked input
+    signature, logits equal to the live scorer's."""
+    from wav2vec_contr_loss_tpu.cli.serve import main as serve_main
+    from wav2vec_contr_loss_tpu.data.audio import write_wav
+
+    scorer = _tiny_scorer()
+    blob = scorer.export(batch=4, wire="int16", platforms=("cpu",))
+    art = tmp_path / "scorer.jaxexport"
+    art.write_bytes(blob)
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(5):  # 5 clips at batch 4: exercises tail padding
+        w = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+        path = tmp_path / f"a{i}.wav"
+        write_wav(path, w, 16000)
+        paths.append(str(path))
+    (tmp_path / "list.txt").write_text("\n".join(paths) + "\n")
+
+    capsys.readouterr()
+    serve_main(["--artifact", str(art), "--list", str(tmp_path / "list.txt")])
+    out_lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert [l.split("\t")[0] for l in out_lines] == paths
+
+    from wav2vec_contr_loss_tpu.data.audio import AudioConfig, AudioLoader
+    loader = AudioLoader(AudioConfig(16000, 1))
+    waves = np.stack([loader.load(p) for p in paths])
+    want = scorer.score_waveforms(
+        np.concatenate([waves, np.zeros((3, 16000), np.float32)]),
+        wire="int16")[:5]
+    np.testing.assert_allclose([float(l.split("\t")[1]) for l in out_lines],
+                               want, atol=1e-5)
+
+
 def test_export_cli(tmp_path):
     """CLI writes a loadable artifact from real checkpoints."""
     import jax

@@ -15,6 +15,11 @@ Usage:
     find corpus/ -name '*.flac' | python -m wav2vec_contr_loss_tpu.cli.serve \
         --stage1_dir checkpoints_stage1/<tag> --stage2_dir scores_stage2/<tag>
 
+    # or from a self-contained cli.export_serving artifact (no model code
+    # or checkpoints on the serving host; batch/clip-length/wire are read
+    # from the artifact's baked signature):
+    ... | python -m wav2vec_contr_loss_tpu.cli.serve --artifact scorer.jaxexport
+
 Higher logit == more bonafide-like (the reference's score-file
 convention, generate_eval_score_file.py:214).
 """
@@ -105,9 +110,14 @@ def _stdin_paths() -> Iterator[str]:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--stage1_dir", type=str, required=True)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="serve from a cli.export_serving artifact instead "
+                        "of checkpoints: batch/clip-length/wire come from "
+                        "the artifact's baked signature, and the host "
+                        "needs no model code or checkpoint files")
+    p.add_argument("--stage1_dir", type=str, default=None)
     p.add_argument("--stage1_name", type=str, default="best")
-    p.add_argument("--stage2_dir", type=str, required=True)
+    p.add_argument("--stage2_dir", type=str, default=None)
     p.add_argument("--stage2_name", type=str,
                    default="stage2_binary_head_best")
     p.add_argument("--list", dest="list_file", type=str, default=None,
@@ -132,22 +142,51 @@ def main(argv=None) -> None:
                         "by cli.eval_scores)")
     args = p.parse_args(argv)
 
-    from ..eval.serving import SpoofScorer
-
-    scorer = SpoofScorer.from_checkpoints(
-        args.stage1_dir, args.stage2_dir,
-        stage1_name=args.stage1_name, stage2_name=args.stage2_name,
-        quantize=args.quantize)
+    batch, wire = args.batch, args.wire
     audio_cfg = AudioConfig(target_sample_rate=args.target_sample_rate,
                             max_duration_seconds=args.max_duration_seconds)
+    if args.artifact is not None:
+        if args.quantize != "none":
+            p.error("--quantize is baked into the artifact at export time; "
+                    "it cannot be changed at serve time")
+        from types import SimpleNamespace
+
+        from ..eval.serving import load_exported
+
+        fn, spec = load_exported(args.artifact, with_spec=True)
+        scorer = SimpleNamespace(_score=fn)
+        batch, wire = spec.batch, spec.wire  # the signature is baked in
+        if spec.num_samples != audio_cfg.num_samples:
+            if spec.num_samples % args.target_sample_rate:
+                p.error(f"artifact expects {spec.num_samples} samples/clip, "
+                        f"not a whole number of seconds at "
+                        f"{args.target_sample_rate} Hz — pass the matching "
+                        f"--target_sample_rate")
+            audio_cfg = AudioConfig(
+                target_sample_rate=args.target_sample_rate,
+                max_duration_seconds=spec.num_samples
+                // args.target_sample_rate)
+        print(f"[serve] artifact {args.artifact}: batch={batch}, "
+              f"{spec.num_samples} samples/clip, wire={wire}",
+              file=sys.stderr)
+    else:
+        if args.stage1_dir is None or args.stage2_dir is None:
+            p.error("either --artifact or both --stage1_dir and "
+                    "--stage2_dir are required")
+        from ..eval.serving import SpoofScorer
+
+        scorer = SpoofScorer.from_checkpoints(
+            args.stage1_dir, args.stage2_dir,
+            stage1_name=args.stage1_name, stage2_name=args.stage2_name,
+            quantize=args.quantize)
 
     paths = _stdin_paths() if args.list_file is None else (
         line.strip() for line in open(args.list_file) if line.strip())
     n = 0
-    for path, logit in score_paths(scorer, paths, batch=args.batch,
+    for path, logit in score_paths(scorer, paths, batch=batch,
                                    audio_config=audio_cfg,
                                    workers=args.num_workers,
-                                   wire=args.wire):
+                                   wire=wire):
         if args.threshold is None:
             print(f"{path}\t{logit:.6f}", flush=True)
         else:

@@ -10,7 +10,7 @@ with tail padding.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,18 +23,35 @@ from ..models.heads import build_head
 from ..ops.wire import dequantize_wire, quantize_wire
 from ..train.stage1 import Stage1Trainer
 
-__all__ = ["SpoofScorer", "load_exported"]
+__all__ = ["SpoofScorer", "load_exported", "ExportSpec"]
 
 
-def load_exported(path: str):
+class ExportSpec(NamedTuple):
+    """Input signature baked into a `SpoofScorer.export` artifact."""
+    batch: int
+    num_samples: int
+    wire: str  # 'float32' | 'int16'
+
+
+def load_exported(path: str, with_spec: bool = False):
     """Load a `SpoofScorer.export` artifact -> callable (B, T) waveforms
     (f32, or int16 if exported with wire='int16') -> (B,) logits. Needs
-    only jax — no model code, no checkpoints."""
+    only jax — no model code, no checkpoints. With `with_spec=True` also
+    returns the `ExportSpec` recovered from the artifact's input aval,
+    so a consumer (e.g. `cli.serve --artifact`) can shape its batches
+    without out-of-band metadata."""
     from jax import export as jexport
 
     with open(path, "rb") as f:
         exp = jexport.deserialize(bytearray(f.read()))
-    return jax.jit(exp.call)
+    fn = jax.jit(exp.call)
+    if not with_spec:
+        return fn
+    aval = exp.in_avals[0]
+    spec = ExportSpec(
+        batch=int(aval.shape[0]), num_samples=int(aval.shape[1]),
+        wire="int16" if aval.dtype == jnp.int16 else "float32")
+    return fn, spec
 
 
 class SpoofScorer:
