@@ -36,7 +36,7 @@ import numpy as np
 
 from ..data.audio import AudioConfig, AudioLoader
 
-__all__ = ["score_paths", "main"]
+__all__ = ["score_paths", "score_paths_windowed", "main"]
 
 
 def _batched_waves(paths: Iterable[str], loader: AudioLoader, batch: int,
@@ -101,6 +101,80 @@ def score_paths(scorer, paths: Iterable[str], batch: int = 8,
             yield p, float(lg)
 
 
+def score_paths_windowed(scorer, paths: Iterable[str], batch: int = 8,
+                         audio_config: AudioConfig = AudioConfig(),
+                         workers: int = 8, wire: str = "float32",
+                         hop_seconds: float = 2.5,
+                         agg: str = "mean") -> Iterator[Tuple[str, float]]:
+    """Yield (path, logit) in input order, scoring each clip's FULL length
+    via overlapping fixed-length windows (the reference throws away
+    everything past the first 5 s — base_audio.py:39-45). Windows from
+    consecutive clips are packed together so every device batch keeps the
+    static (batch, T) shape: one compiled graph serves any mix of clip
+    lengths. Aggregation semantics: SpoofScorer.score_long_waveforms."""
+    import jax
+
+    from ..data.pipeline import stream_through_device
+    from ..eval.serving import _WINDOW_AGG, window_waveform
+    from ..ops.wire import quantize_wire
+
+    t = audio_config.num_samples
+    hop = max(1, int(hop_seconds * audio_config.target_sample_rate))
+    # decode at full length; corrupted files still fall back to zeros
+    full_loader = AudioLoader(AudioConfig(audio_config.target_sample_rate,
+                                          None))
+    aggf = _WINDOW_AGG[agg]
+    clips: dict = {}  # pid -> [path, n_windows, logits_so_far]
+
+    def batches():
+        buf_ids, buf_rows = [], []
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending: deque = deque()
+            it = iter(paths)
+            exhausted = False
+            pid = 0
+            while True:
+                while not exhausted and len(pending) < 2 * batch:
+                    try:
+                        p = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    pending.append((p, pool.submit(full_loader.load, p)))
+                if pending:
+                    p, fut = pending.popleft()
+                    wins = window_waveform(fut.result(), t, hop)
+                    clips[pid] = [p, wins.shape[0], []]
+                    buf_ids.extend([pid] * wins.shape[0])
+                    buf_rows.extend(wins)
+                    pid += 1
+                while len(buf_ids) >= batch:
+                    yield buf_ids[:batch], np.stack(buf_rows[:batch])
+                    buf_ids, buf_rows = buf_ids[batch:], buf_rows[batch:]
+                if exhausted and not pending:
+                    if buf_ids:
+                        waves = np.zeros((batch, t), np.float32)
+                        waves[: len(buf_rows)] = np.stack(buf_rows)
+                        yield buf_ids, waves
+                    break
+
+    def put(chunk_waves):
+        _, waves = chunk_waves
+        return jax.device_put(quantize_wire(waves) if wire == "int16"
+                              else waves)
+
+    emit_next = 0
+    for logits, (ids, _) in stream_through_device(batches(), put,
+                                                  scorer._score):
+        for pid, lg in zip(ids, logits[: len(ids)]):
+            clips[pid][2].append(float(lg))
+        while emit_next in clips and (
+                len(clips[emit_next][2]) == clips[emit_next][1]):
+            path, _, ls = clips.pop(emit_next)
+            yield path, float(aggf(ls))
+            emit_next += 1
+
+
 def _stdin_paths() -> Iterator[str]:
     for line in sys.stdin:
         line = line.strip()
@@ -140,6 +214,14 @@ def main(argv=None) -> None:
                    help="optional decision threshold: adds a third column "
                         "bonafide/spoof (e.g. the dev-EER threshold printed "
                         "by cli.eval_scores)")
+    p.add_argument("--windowed", type=str, default="none",
+                   choices=["none", "mean", "min", "max", "median"],
+                   help="score each clip's FULL length via overlapping "
+                        "windows aggregated with this statistic ('min' is "
+                        "spoof-sensitive); default scores only the first "
+                        "max_duration_seconds like the reference")
+    p.add_argument("--hop_seconds", type=float, default=2.5,
+                   help="window hop for --windowed")
     args = p.parse_args(argv)
 
     batch, wire = args.batch, args.wire
@@ -182,11 +264,17 @@ def main(argv=None) -> None:
 
     paths = _stdin_paths() if args.list_file is None else (
         line.strip() for line in open(args.list_file) if line.strip())
+    if args.windowed != "none":
+        scored = score_paths_windowed(
+            scorer, paths, batch=batch, audio_config=audio_cfg,
+            workers=args.num_workers, wire=wire,
+            hop_seconds=args.hop_seconds, agg=args.windowed)
+    else:
+        scored = score_paths(scorer, paths, batch=batch,
+                             audio_config=audio_cfg,
+                             workers=args.num_workers, wire=wire)
     n = 0
-    for path, logit in score_paths(scorer, paths, batch=batch,
-                                   audio_config=audio_cfg,
-                                   workers=args.num_workers,
-                                   wire=wire):
+    for path, logit in scored:
         if args.threshold is None:
             print(f"{path}\t{logit:.6f}", flush=True)
         else:

@@ -23,7 +23,37 @@ from ..models.heads import build_head
 from ..ops.wire import dequantize_wire, quantize_wire
 from ..train.stage1 import Stage1Trainer
 
-__all__ = ["SpoofScorer", "load_exported", "ExportSpec"]
+__all__ = ["SpoofScorer", "load_exported", "ExportSpec", "window_waveform"]
+
+
+def window_waveform(wave: np.ndarray, num_samples: int,
+                    hop: int) -> np.ndarray:
+    """Split a 1-D waveform into (W, num_samples) fixed-length windows
+    covering the whole clip: starts at 0, hop, 2*hop, ..., plus an
+    end-aligned final window so the tail is scored without zero padding.
+    Clips <= num_samples yield one zero-padded window — identical to the
+    reference's pad-or-trim contract (reference: base_audio.py:39-45),
+    so windowed scoring degenerates to plain scoring on short clips."""
+    n = wave.shape[0]
+    if n <= num_samples:
+        out = np.zeros((1, num_samples), np.float32)
+        out[0, :n] = wave
+        return out
+    starts = list(range(0, n - num_samples + 1, hop))
+    if starts[-1] != n - num_samples:
+        starts.append(n - num_samples)
+    return np.stack([wave[s:s + num_samples] for s in starts])
+
+
+_WINDOW_AGG = {
+    # higher logit == more bonafide-like (the reference's score-file
+    # convention), so 'min' is the spoof-sensitive choice: a clip is as
+    # fake as its fakest window.
+    "mean": np.mean,
+    "min": np.min,
+    "max": np.max,
+    "median": np.median,
+}
 
 
 class ExportSpec(NamedTuple):
@@ -152,6 +182,41 @@ class SpoofScorer:
         if wire == "int16":
             return np.asarray(self._score(jnp.asarray(quantize_wire(waves))))
         return np.asarray(self._score(jnp.asarray(waves, jnp.float32)))
+
+    def score_long_waveforms(self, waves, hop_seconds: float = 2.5,
+                             agg: str = "mean", batch: int = 8,
+                             wire: str = "float32") -> np.ndarray:
+        """Variable-length clips -> one logit each, scoring overlapping
+        fixed-length windows and aggregating per clip.
+
+        The reference only ever scores the FIRST 5 s of a clip (its
+        pad-or-trim at base_audio.py:39-45 throws the rest away — ITW
+        clips run far longer). This opt-in mode covers the full clip:
+        host-side windowing (window_waveform) keeps every device batch at
+        the static (batch, T) shape, so ONE compiled graph serves any mix
+        of clip lengths. agg: 'mean' (default) | 'min' (spoof-sensitive:
+        a clip is as fake as its fakest window) | 'max' | 'median'."""
+        cfg = self.trainer.cfg
+        t = cfg.max_duration_seconds * cfg.target_sample_rate
+        hop = max(1, int(hop_seconds * cfg.target_sample_rate))
+        aggf = _WINDOW_AGG[agg]
+
+        wins = [window_waveform(np.asarray(w, np.float32), t, hop)
+                for w in waves]
+        flat = np.concatenate(wins) if wins else np.zeros((0, t), np.float32)
+        pad = -flat.shape[0] % batch
+        if pad:
+            flat = np.concatenate([flat, np.zeros((pad, t), np.float32)])
+        logits = np.concatenate([
+            self.score_waveforms(flat[i:i + batch], wire=wire)
+            for i in range(0, flat.shape[0], batch)
+        ]) if flat.shape[0] else np.zeros((0,), np.float32)
+
+        out, off = np.zeros(len(wins), np.float32), 0
+        for i, w in enumerate(wins):
+            out[i] = aggf(logits[off:off + w.shape[0]])
+            off += w.shape[0]
+        return out
 
     def score_dataset(self, pipe: BatchPipeline
                       ) -> Tuple[np.ndarray, np.ndarray]:
