@@ -60,6 +60,19 @@ def test_export_roundtrip(tmp_path):
     got = np.asarray(fn(jnp.asarray(waves)))
     np.testing.assert_allclose(got, want, atol=1e-5)
 
+    # the JSON header makes the file self-describing (sample rate is not
+    # recoverable from the input aval); bare blobs still load (spec
+    # fields None)
+    from wav2vec_contr_loss_tpu.eval.serving import ExportSpec, _unwrap_export
+    _, spec = load_exported(str(path), with_spec=True)
+    assert spec == ExportSpec(4, 16000, "float32", 16000, "none")
+    raw, header = _unwrap_export(blob)
+    assert header["sample_rate"] == 16000
+    (tmp_path / "bare.jaxexport").write_bytes(raw)
+    _, bare_spec = load_exported(str(tmp_path / "bare.jaxexport"),
+                                 with_spec=True)
+    assert bare_spec == ExportSpec(4, 16000, "float32", None, None)
+
 
 def test_export_int16_wire_and_quantized(tmp_path):
     scorer = _tiny_scorer(quantize="w8")
@@ -94,6 +107,16 @@ def test_serve_from_artifact(tmp_path, capsys):
         write_wav(path, w, 16000)
         paths.append(str(path))
     (tmp_path / "list.txt").write_text("\n".join(paths) + "\n")
+
+    # flags that conflict with the baked signature are rejected, not
+    # silently overridden
+    import pytest
+    for bad in (["--wire", "float32"], ["--batch", "64"],
+                ["--target_sample_rate", "8000"],
+                ["--quantize", "w8"]):
+        with pytest.raises(SystemExit):
+            serve_main(["--artifact", str(art),
+                        "--list", str(tmp_path / "list.txt")] + bad)
 
     capsys.readouterr()
     serve_main(["--artifact", str(art), "--list", str(tmp_path / "list.txt")])

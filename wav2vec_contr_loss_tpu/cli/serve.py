@@ -39,20 +39,16 @@ from ..data.audio import AudioConfig, AudioLoader
 __all__ = ["score_paths", "score_paths_windowed", "main"]
 
 
-def _batched_waves(paths: Iterable[str], loader: AudioLoader, batch: int,
-                   workers: int) -> Iterator[Tuple[list, np.ndarray]]:
-    """Decode `paths` with a bounded-lookahead thread pool and group into
-    (paths, (B, T) float32) batches; the tail batch is zero-padded to the
-    static batch size (XLA graph compiles once)."""
-    t = loader.config.num_samples
+def _decoded(paths: Iterable[str], loader: AudioLoader, workers: int,
+             lookahead: int) -> Iterator[Tuple[str, np.ndarray]]:
+    """Yield (path, waveform) in input order, decoding with a thread pool
+    up to `lookahead` clips ahead of the consumer."""
     with ThreadPoolExecutor(max_workers=workers) as pool:
         pending: deque = deque()  # (path, future)
-        done_paths, done_waves = [], []
         it = iter(paths)
         exhausted = False
         while True:
-            # keep up to 2 batches of decode in flight ahead of the device
-            while not exhausted and len(pending) < 2 * batch:
+            while not exhausted and len(pending) < lookahead:
                 try:
                     p = next(it)
                 except StopIteration:
@@ -60,16 +56,44 @@ def _batched_waves(paths: Iterable[str], loader: AudioLoader, batch: int,
                     break
                 pending.append((p, pool.submit(loader.load, p)))
             if not pending:
-                break
+                return
             p, fut = pending.popleft()
-            done_paths.append(p)
-            done_waves.append(fut.result())
-            if len(done_paths) == batch or (exhausted and not pending):
-                n = len(done_paths)
-                waves = np.zeros((batch, t), np.float32)
-                waves[:n] = np.stack(done_waves)
-                yield done_paths, waves
-                done_paths, done_waves = [], []
+            yield p, fut.result()
+
+
+def _put_fn(wire: str):
+    """(meta, (B, T) waves) -> device buffer, optionally int16-quantized
+    on the wire (ops/wire.py)."""
+    import jax
+
+    from ..ops.wire import quantize_wire
+
+    def put(chunk_waves):
+        _, waves = chunk_waves
+        return jax.device_put(quantize_wire(waves) if wire == "int16"
+                              else waves)
+
+    return put
+
+
+def _batched_waves(paths: Iterable[str], loader: AudioLoader, batch: int,
+                   workers: int) -> Iterator[Tuple[list, np.ndarray]]:
+    """Decode `paths` (two batches of lookahead ahead of the device) and
+    group into (paths, (B, T) float32) batches; the tail batch is
+    zero-padded to the static batch size (XLA graph compiles once)."""
+    t = loader.config.num_samples
+    done_paths, done_waves = [], []
+    for p, w in _decoded(paths, loader, workers, 2 * batch):
+        done_paths.append(p)
+        done_waves.append(w)
+        if len(done_paths) == batch:
+            yield done_paths, np.stack(done_waves)
+            done_paths, done_waves = [], []
+    if done_paths:
+        n = len(done_paths)
+        waves = np.zeros((batch, t), np.float32)
+        waves[:n] = np.stack(done_waves)
+        yield done_paths, waves
 
 
 def score_paths(scorer, paths: Iterable[str], batch: int = 8,
@@ -82,20 +106,12 @@ def score_paths(scorer, paths: Iterable[str], batch: int = 8,
     while batch N's logits fetch — so the daemon's steady-state rate is
     the slowest single stage, not their sum. wire='int16' halves the H2D
     bytes (exact for unresampled PCM sources — ops/wire.py)."""
-    import jax
-
     from ..data.pipeline import stream_through_device
-    from ..ops.wire import quantize_wire
 
     loader = AudioLoader(audio_config)
-
-    def put(chunk_waves):
-        _, waves = chunk_waves
-        return jax.device_put(quantize_wire(waves) if wire == "int16"
-                              else waves)
-
     for logits, (chunk, _) in stream_through_device(
-        _batched_waves(paths, loader, batch, workers), put, scorer._score,
+        _batched_waves(paths, loader, batch, workers), _put_fn(wire),
+        scorer._score,
     ):
         for p, lg in zip(chunk, logits[: len(chunk)]):
             yield p, float(lg)
@@ -112,11 +128,8 @@ def score_paths_windowed(scorer, paths: Iterable[str], batch: int = 8,
     consecutive clips are packed together so every device batch keeps the
     static (batch, T) shape: one compiled graph serves any mix of clip
     lengths. Aggregation semantics: SpoofScorer.score_long_waveforms."""
-    import jax
-
     from ..data.pipeline import stream_through_device
     from ..eval.serving import _WINDOW_AGG, window_waveform
-    from ..ops.wire import quantize_wire
 
     t = audio_config.num_samples
     hop = max(1, int(hop_seconds * audio_config.target_sample_rate))
@@ -127,44 +140,27 @@ def score_paths_windowed(scorer, paths: Iterable[str], batch: int = 8,
     clips: dict = {}  # pid -> [path, n_windows, logits_so_far]
 
     def batches():
+        # lookahead in CLIPS is bounded by the pool width, not 2*batch:
+        # full-length clips can be arbitrarily long, and each yields
+        # several windows anyway, so a small clip lookahead keeps the
+        # device fed without holding 2*batch whole waveforms in RAM
         buf_ids, buf_rows = [], []
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            pending: deque = deque()
-            it = iter(paths)
-            exhausted = False
-            pid = 0
-            while True:
-                while not exhausted and len(pending) < 2 * batch:
-                    try:
-                        p = next(it)
-                    except StopIteration:
-                        exhausted = True
-                        break
-                    pending.append((p, pool.submit(full_loader.load, p)))
-                if pending:
-                    p, fut = pending.popleft()
-                    wins = window_waveform(fut.result(), t, hop)
-                    clips[pid] = [p, wins.shape[0], []]
-                    buf_ids.extend([pid] * wins.shape[0])
-                    buf_rows.extend(wins)
-                    pid += 1
-                while len(buf_ids) >= batch:
-                    yield buf_ids[:batch], np.stack(buf_rows[:batch])
-                    buf_ids, buf_rows = buf_ids[batch:], buf_rows[batch:]
-                if exhausted and not pending:
-                    if buf_ids:
-                        waves = np.zeros((batch, t), np.float32)
-                        waves[: len(buf_rows)] = np.stack(buf_rows)
-                        yield buf_ids, waves
-                    break
-
-    def put(chunk_waves):
-        _, waves = chunk_waves
-        return jax.device_put(quantize_wire(waves) if wire == "int16"
-                              else waves)
+        for pid, (p, wave) in enumerate(
+                _decoded(paths, full_loader, workers, max(2, workers))):
+            wins = window_waveform(wave, t, hop)
+            clips[pid] = [p, wins.shape[0], []]
+            buf_ids.extend([pid] * wins.shape[0])
+            buf_rows.extend(wins)
+            while len(buf_ids) >= batch:
+                yield buf_ids[:batch], np.stack(buf_rows[:batch])
+                buf_ids, buf_rows = buf_ids[batch:], buf_rows[batch:]
+        if buf_ids:
+            waves = np.zeros((batch, t), np.float32)
+            waves[: len(buf_rows)] = np.stack(buf_rows)
+            yield buf_ids, waves
 
     emit_next = 0
-    for logits, (ids, _) in stream_through_device(batches(), put,
+    for logits, (ids, _) in stream_through_device(batches(), _put_fn(wire),
                                                   scorer._score):
         for pid, lg in zip(ids, logits[: len(ids)]):
             clips[pid][2].append(float(lg))
@@ -196,15 +192,20 @@ def main(argv=None) -> None:
                    default="stage2_binary_head_best")
     p.add_argument("--list", dest="list_file", type=str, default=None,
                    help="file with one audio path per line (default: stdin)")
-    p.add_argument("--batch", type=int, default=8,
-                   help="static serving batch (one compiled graph)")
-    p.add_argument("--max_duration_seconds", type=int, default=5)
-    p.add_argument("--target_sample_rate", type=int, default=16000)
+    p.add_argument("--batch", type=int, default=None,
+                   help="static serving batch, one compiled graph "
+                        "(default 8; in --artifact mode it is baked into "
+                        "the artifact and may not be changed here)")
+    p.add_argument("--max_duration_seconds", type=int, default=None,
+                   help="(default 5; baked into an artifact)")
+    p.add_argument("--target_sample_rate", type=int, default=None,
+                   help="(default 16000; recorded in an artifact's header)")
     p.add_argument("--num_workers", type=int, default=8)
-    p.add_argument("--wire", type=str, default="float32",
+    p.add_argument("--wire", type=str, default=None,
                    choices=["float32", "int16"],
                    help="host->device waveform format; int16 halves H2D "
-                        "bytes (exact for unresampled PCM)")
+                        "bytes (exact for unresampled PCM); default "
+                        "float32 (baked into an artifact)")
     p.add_argument("--quantize", type=str, default="none",
                    choices=["none", "w8a8", "w8"],
                    help="int8 encoder quantization: 'w8a8' rides the "
@@ -224,10 +225,9 @@ def main(argv=None) -> None:
                    help="window hop for --windowed")
     args = p.parse_args(argv)
 
-    batch, wire = args.batch, args.wire
-    audio_cfg = AudioConfig(target_sample_rate=args.target_sample_rate,
-                            max_duration_seconds=args.max_duration_seconds)
     if args.artifact is not None:
+        # the serving signature is baked into the artifact; reject (not
+        # silently override) any conflicting flag, like --quantize below
         if args.quantize != "none":
             p.error("--quantize is baked into the artifact at export time; "
                     "it cannot be changed at serve time")
@@ -237,24 +237,45 @@ def main(argv=None) -> None:
 
         fn, spec = load_exported(args.artifact, with_spec=True)
         scorer = SimpleNamespace(_score=fn)
-        batch, wire = spec.batch, spec.wire  # the signature is baked in
-        if spec.num_samples != audio_cfg.num_samples:
-            if spec.num_samples % args.target_sample_rate:
-                p.error(f"artifact expects {spec.num_samples} samples/clip, "
-                        f"not a whole number of seconds at "
-                        f"{args.target_sample_rate} Hz — pass the matching "
-                        f"--target_sample_rate")
-            audio_cfg = AudioConfig(
-                target_sample_rate=args.target_sample_rate,
-                max_duration_seconds=spec.num_samples
-                // args.target_sample_rate)
+        for flag, given, baked in (("--batch", args.batch, spec.batch),
+                                   ("--wire", args.wire, spec.wire)):
+            if given is not None and given != baked:
+                p.error(f"{flag}={given} conflicts with the artifact's "
+                        f"baked {flag.lstrip('-')}={baked}")
+        batch, wire = spec.batch, spec.wire
+        sr = spec.sample_rate  # from the artifact's JSON header
+        if sr is None:  # bare jax.export blob with no header
+            sr = args.target_sample_rate or 16000
+        elif (args.target_sample_rate is not None
+              and args.target_sample_rate != sr):
+            p.error(f"--target_sample_rate={args.target_sample_rate} "
+                    f"conflicts with the artifact's recorded {sr} Hz")
+        if spec.num_samples % sr:
+            p.error(f"artifact expects {spec.num_samples} samples/clip, "
+                    f"not a whole number of seconds at {sr} Hz — pass the "
+                    f"matching --target_sample_rate")
+        dur = spec.num_samples // sr
+        if (args.max_duration_seconds is not None
+                and args.max_duration_seconds != dur):
+            p.error(f"--max_duration_seconds={args.max_duration_seconds} "
+                    f"conflicts with the artifact's {dur} s clips")
+        audio_cfg = AudioConfig(target_sample_rate=sr,
+                                max_duration_seconds=dur)
         print(f"[serve] artifact {args.artifact}: batch={batch}, "
-              f"{spec.num_samples} samples/clip, wire={wire}",
+              f"{spec.num_samples} samples/clip @ {sr} Hz, wire={wire}"
+              + (f", quantize={spec.quantize}"
+                 if spec.quantize not in (None, "none") else ""),
               file=sys.stderr)
     else:
         if args.stage1_dir is None or args.stage2_dir is None:
             p.error("either --artifact or both --stage1_dir and "
                     "--stage2_dir are required")
+        batch = 8 if args.batch is None else args.batch
+        wire = args.wire or "float32"
+        audio_cfg = AudioConfig(
+            target_sample_rate=args.target_sample_rate or 16000,
+            max_duration_seconds=5 if args.max_duration_seconds is None
+            else args.max_duration_seconds)
         from ..eval.serving import SpoofScorer
 
         scorer = SpoofScorer.from_checkpoints(

@@ -10,6 +10,7 @@ with tail padding.
 
 from __future__ import annotations
 
+import json
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -57,30 +58,62 @@ _WINDOW_AGG = {
 
 
 class ExportSpec(NamedTuple):
-    """Input signature baked into a `SpoofScorer.export` artifact."""
+    """Input signature + provenance baked into a `SpoofScorer.export`
+    artifact. batch/num_samples/wire come from the StableHLO input aval;
+    sample_rate/quantize from the file's JSON header (None when loading
+    a bare jax.export blob with no header)."""
     batch: int
     num_samples: int
     wire: str  # 'float32' | 'int16'
+    sample_rate: Optional[int] = None
+    quantize: Optional[str] = None
+
+
+# Artifact file format: MAGIC + u32be header length + JSON header +
+# raw jax.export bytes. The header makes the file self-describing
+# (sample rate is NOT recoverable from the (batch, T) input aval alone —
+# serving resampled audio into a model trained at another rate would be
+# silently wrong). A consumer that wants to stay jax-only can strip it:
+#     raw = blob[12 + int.from_bytes(blob[8:12], 'big'):]
+_EXPORT_MAGIC = b"W2VEXPT1"
+
+
+def _wrap_export(raw: bytes, header: dict) -> bytes:
+    h = json.dumps(header).encode()
+    return _EXPORT_MAGIC + len(h).to_bytes(4, "big") + h + raw
+
+
+def _unwrap_export(blob: bytes):
+    """-> (raw jax.export bytes, header dict) — header {} for a bare
+    artifact written by jax.export directly (back-compat)."""
+    if not blob.startswith(_EXPORT_MAGIC):
+        return blob, {}
+    n = int.from_bytes(blob[8:12], "big")
+    return blob[12 + n:], json.loads(blob[12:12 + n].decode())
 
 
 def load_exported(path: str, with_spec: bool = False):
     """Load a `SpoofScorer.export` artifact -> callable (B, T) waveforms
     (f32, or int16 if exported with wire='int16') -> (B,) logits. Needs
     only jax — no model code, no checkpoints. With `with_spec=True` also
-    returns the `ExportSpec` recovered from the artifact's input aval,
-    so a consumer (e.g. `cli.serve --artifact`) can shape its batches
-    without out-of-band metadata."""
+    returns the `ExportSpec` recovered from the artifact (input aval +
+    JSON header), so a consumer (e.g. `cli.serve --artifact`) can shape
+    its batches and validate the audio pipeline without out-of-band
+    metadata."""
     from jax import export as jexport
 
     with open(path, "rb") as f:
-        exp = jexport.deserialize(bytearray(f.read()))
+        raw, header = _unwrap_export(f.read())
+    exp = jexport.deserialize(bytearray(raw))
     fn = jax.jit(exp.call)
     if not with_spec:
         return fn
     aval = exp.in_avals[0]
     spec = ExportSpec(
         batch=int(aval.shape[0]), num_samples=int(aval.shape[1]),
-        wire="int16" if aval.dtype == jnp.int16 else "float32")
+        wire="int16" if aval.dtype == jnp.int16 else "float32",
+        sample_rate=header.get("sample_rate"),
+        quantize=header.get("quantize"))
     return fn, spec
 
 
@@ -91,6 +124,7 @@ class SpoofScorer:
                  head_params: Dict, quantize: str = "none"):
         self.trainer = trainer
         self.state = state
+        self.quantize = quantize
         self.head = build_head(stage2_cfg.head_type, stage2_cfg.hidden_dim,
                                stage2_cfg.dropout)
 
@@ -161,7 +195,19 @@ class SpoofScorer:
         input signature (half-size input buffers, ops/wire.py).
 
         Multi-platform by default: one artifact runs on TPU hosts and on
-        CPU (jax handles the platform dispatch on call)."""
+        CPU (jax handles the platform dispatch on call). Caveat for
+        hosts that compile through a REMOTE compile service (like this
+        container's axon tunnel): the consumer-side compile uploads the
+        weight constants with the module, so a full-size fp32 artifact
+        can hit the same multi-GB-upload wall the closure bug did —
+        on such hosts serve from checkpoints instead, or export with
+        quantize='w8' (4x smaller constants). A locally-attached
+        TPU/CPU host compiles in-process and has no such limit.
+
+        The emitted file is MAGIC + u32 length + JSON header (sample
+        rate, quantize — not recoverable from the input aval) + the raw
+        jax.export bytes; `load_exported` handles both this and bare
+        jax.export blobs."""
         from jax import export as jexport
 
         cfg = self.trainer.cfg
@@ -171,7 +217,11 @@ class SpoofScorer:
         dtype = jnp.int16 if wire == "int16" else jnp.float32
         spec = jax.ShapeDtypeStruct((batch, t), dtype)
         exp = jexport.export(fn, platforms=list(platforms))(spec)
-        return exp.serialize()
+        return _wrap_export(exp.serialize(), {
+            "sample_rate": cfg.target_sample_rate,
+            "quantize": self.quantize,
+            "wire": wire,
+        })
 
     def score_waveforms(self, waves: np.ndarray,
                         wire: str = "float32") -> np.ndarray:
