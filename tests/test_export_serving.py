@@ -26,6 +26,9 @@ TINY_ENC = Wav2Vec2Config(
 )
 
 
+import pytest
+
+
 def _tiny_scorer(quantize="none"):
     import jax
 
@@ -41,6 +44,12 @@ def _tiny_scorer(quantize="none"):
     return SpoofScorer(trainer, state, cfg2, head_params, quantize=quantize)
 
 
+@pytest.fixture(scope="module")
+def tiny_scorer():
+    # module-scoped: built/compiled once for the plain-scorer tests
+    return _tiny_scorer()
+
+
 def _waves(batch=4, t=16000):
     rng = np.random.default_rng(0)
     w = rng.normal(0, 0.2, (batch, t)).astype(np.float32)
@@ -48,8 +57,8 @@ def _waves(batch=4, t=16000):
     return w
 
 
-def test_export_roundtrip(tmp_path):
-    scorer = _tiny_scorer()
+def test_export_roundtrip(tmp_path, tiny_scorer):
+    scorer = tiny_scorer
     waves = _waves()
     want = scorer.score_waveforms(waves)
 
@@ -87,14 +96,14 @@ def test_export_int16_wire_and_quantized(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_serve_from_artifact(tmp_path, capsys):
+def test_serve_from_artifact(tmp_path, capsys, tiny_scorer):
     """cli.serve --artifact: daemon scores from the exported file alone —
     batch, clip length, and wire format recovered from the baked input
     signature, logits equal to the live scorer's."""
     from wav2vec_contr_loss_tpu.cli.serve import main as serve_main
     from wav2vec_contr_loss_tpu.data.audio import write_wav
 
-    scorer = _tiny_scorer()
+    scorer = tiny_scorer
     blob = scorer.export(batch=4, wire="int16", platforms=("cpu",))
     art = tmp_path / "scorer.jaxexport"
     art.write_bytes(blob)
@@ -110,7 +119,6 @@ def test_serve_from_artifact(tmp_path, capsys):
 
     # flags that conflict with the baked signature are rejected, not
     # silently overridden
-    import pytest
     for bad in (["--wire", "float32"], ["--batch", "64"],
                 ["--target_sample_rate", "8000"],
                 ["--quantize", "w8"]):

@@ -28,7 +28,12 @@ TINY_ENC = Wav2Vec2Config(
 )
 
 
-def _tiny_scorer():
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_scorer():
+    # module-scoped: the jitted scoring graph compiles once for all tests
     cfg = Stage1Config(batch_size=4, finetune_encoder=False,
                        use_rawboost=False, input_dim=32, hidden_dim=16,
                        max_duration_seconds=1, compute_dtype="float32")
@@ -60,8 +65,8 @@ def test_window_waveform_shapes():
     np.testing.assert_array_equal(w[:, 0], [0, 40, 80])
 
 
-def test_score_long_equals_per_window_scoring():
-    scorer = _tiny_scorer()
+def test_score_long_equals_per_window_scoring(tiny_scorer):
+    scorer = tiny_scorer
     rng = np.random.default_rng(0)
     short = rng.normal(0, 0.2, 12000).astype(np.float32)
     long1 = rng.normal(0, 0.2, int(2.6 * SR)).astype(np.float32)
@@ -89,13 +94,13 @@ def test_score_long_equals_per_window_scoring():
         got_min[0], scorer.score_waveforms(wins).min(), atol=1e-5)
 
 
-def test_cli_serve_windowed(tmp_path, capsys):
+def test_cli_serve_windowed(tmp_path, capsys, tiny_scorer):
     """--windowed mean streams full-clip scores in input order: mixed
     short/long clips, static batch, numbers equal score_long_waveforms."""
     from wav2vec_contr_loss_tpu.cli.serve import score_paths_windowed
     from wav2vec_contr_loss_tpu.data.audio import AudioConfig, write_wav
 
-    scorer = _tiny_scorer()
+    scorer = tiny_scorer
     rng = np.random.default_rng(4)
     lens = [12000, int(2.4 * SR), SR, 3 * SR, 7000]
     waves, paths = [], []
