@@ -96,6 +96,23 @@ def test_export_int16_wire_and_quantized(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_export_w8a8(tmp_path):
+    """w8a8 bakes int8 weights AND the dynamic per-token activation-quant
+    ops into the serialized graph — a different StableHLO surface than
+    the bf16/w8 paths."""
+    scorer = _tiny_scorer(quantize="w8a8")
+    waves = _waves()
+    want = scorer.score_waveforms(waves)
+
+    blob = scorer.export(batch=4, platforms=("cpu",))
+    path = tmp_path / "scorer_w8a8.jaxexport"
+    path.write_bytes(blob)
+    got = np.asarray(load_exported(str(path))(jnp.asarray(waves)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    _, spec = load_exported(str(path), with_spec=True)
+    assert spec.quantize == "w8a8"
+
+
 def test_serve_from_artifact(tmp_path, capsys, tiny_scorer):
     """cli.serve --artifact: daemon scores from the exported file alone —
     batch, clip length, and wire format recovered from the baked input
