@@ -110,6 +110,10 @@ def test_cli_serve_windowed(tmp_path, capsys, tiny_scorer):
         write_wav(path, w, SR)
         waves.append(w)
         paths.append(str(path))
+    # corrupted input: zero-waveform fallback, scored, never crashes
+    bad = tmp_path / "corrupt.wav"
+    bad.write_bytes(b"not audio")
+    paths.append(str(bad))
 
     got = list(score_paths_windowed(scorer, paths, batch=4,
                                     audio_config=AudioConfig(SR, 1),
