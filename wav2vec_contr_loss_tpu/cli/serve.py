@@ -295,13 +295,24 @@ def main(argv=None) -> None:
                              audio_config=audio_cfg,
                              workers=args.num_workers, wire=wire)
     n = 0
-    for path, logit in scored:
-        if args.threshold is None:
-            print(f"{path}\t{logit:.6f}", flush=True)
-        else:
-            label = "bonafide" if logit >= args.threshold else "spoof"
-            print(f"{path}\t{logit:.6f}\t{label}", flush=True)
-        n += 1
+    try:
+        for path, logit in scored:
+            if args.threshold is None:
+                print(f"{path}\t{logit:.6f}", flush=True)
+            else:
+                label = "bonafide" if logit >= args.threshold else "spoof"
+                print(f"{path}\t{logit:.6f}\t{label}", flush=True)
+            n += 1
+    except BrokenPipeError:
+        # downstream consumer closed the pipe (e.g. `| head`): exit
+        # cleanly; point stdout at devnull so interpreter shutdown
+        # doesn't raise again while flushing
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        print(f"[serve] downstream pipe closed after {n} clips",
+              file=sys.stderr)
+        return
     print(f"[serve] scored {n} clips "
           f"(decode ok={AudioLoader.loaded_count} "
           f"failed={AudioLoader.failed_count})", file=sys.stderr)
