@@ -57,6 +57,43 @@ def test_fused_scorer_matches_pipeline(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_put_waves_dp_sharding(tmp_path):
+    """Serving is mesh-native like extraction: waves shard over 'data'
+    when the batch divides it, replicate otherwise (same device set as
+    the replicated params either way)."""
+    from jax.sharding import PartitionSpec as P
+
+    from wav2vec_contr_loss_tpu.models.heads import build_head
+    import jax
+
+    cfg = Stage1Config(batch_size=4, finetune_encoder=False,
+                       use_rawboost=False, input_dim=32, hidden_dim=16,
+                       max_duration_seconds=1, compute_dtype="float32")
+    trainer = Stage1Trainer(cfg, enc_config=TINY_ENC)
+    state = trainer.init_state()
+    cfg2 = Stage2Config(hidden_dim=16)
+    head = build_head(cfg2.head_type, cfg2.hidden_dim, cfg2.dropout)
+    head_params = head.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, cfg.hidden_dim)))["params"]
+    scorer = SpoofScorer(trainer, state, cfg2, head_params)
+
+    n_data = scorer.mesh.shape.get("data", 1)
+    assert n_data > 1  # conftest provides the virtual 8-device mesh
+
+    dp = scorer.put_waves(np.zeros((n_data * 2, SR), np.float32))
+    assert dp.sharding.spec == P("data")
+    rep = scorer.put_waves(np.zeros((n_data + 1, SR), np.float32))
+    assert rep.sharding.spec == P()
+    # dp-sharded scoring equals replicated scoring bit-for-bit (no
+    # cross-row op in the graph)
+    waves = np.random.default_rng(0).normal(
+        0, 0.2, (n_data * 2, SR)).astype(np.float32)
+    got_dp = np.asarray(scorer._score(scorer.put_waves(waves)))
+    got_rep = np.asarray(scorer._score(jax.device_put(
+        waves, scorer._waves_rep)))
+    np.testing.assert_array_equal(got_dp, got_rep)
+
+
 def test_bench_serving_smoke(capsys):
     """The serving-latency component bench runs end-to-end on the tiny
     model and emits JSON-serializable numbers."""

@@ -61,17 +61,20 @@ def _decoded(paths: Iterable[str], loader: AudioLoader, workers: int,
             yield p, fut.result()
 
 
-def _put_fn(wire: str):
+def _put_fn(wire: str, scorer=None):
     """(meta, (B, T) waves) -> device buffer, optionally int16-quantized
-    on the wire (ops/wire.py)."""
+    on the wire (ops/wire.py). Uses the scorer's mesh-aware placement
+    (SpoofScorer.put_waves — dp-sharded over 'data') when it has one;
+    artifact-mode scorers fall back to a plain device_put."""
     import jax
 
     from ..ops.wire import quantize_wire
 
+    place = getattr(scorer, "put_waves", jax.device_put)
+
     def put(chunk_waves):
         _, waves = chunk_waves
-        return jax.device_put(quantize_wire(waves) if wire == "int16"
-                              else waves)
+        return place(quantize_wire(waves) if wire == "int16" else waves)
 
     return put
 
@@ -110,7 +113,7 @@ def score_paths(scorer, paths: Iterable[str], batch: int = 8,
 
     loader = AudioLoader(audio_config)
     for logits, (chunk, _) in stream_through_device(
-        _batched_waves(paths, loader, batch, workers), _put_fn(wire),
+        _batched_waves(paths, loader, batch, workers), _put_fn(wire, scorer),
         scorer._score,
     ):
         for p, lg in zip(chunk, logits[: len(chunk)]):
@@ -160,7 +163,8 @@ def score_paths_windowed(scorer, paths: Iterable[str], batch: int = 8,
             yield buf_ids, waves
 
     emit_next = 0
-    for logits, (ids, _) in stream_through_device(batches(), _put_fn(wire),
+    for logits, (ids, _) in stream_through_device(batches(),
+                                                  _put_fn(wire, scorer),
                                                   scorer._score):
         for pid, lg in zip(ids, logits[: len(ids)]):
             clips[pid][2].append(float(lg))

@@ -148,9 +148,22 @@ class SpoofScorer:
         # remote-compile service dropped mid-transfer (every r2/r3
         # serving-compile 'Broken pipe' traced to this; measured: 64 MB of
         # closed-over params -> 134 MB module vs 1.7 KB with arguments).
-        enc_params = jax.device_put(raw_enc_params)
-        comp_params = jax.device_put(state.params["compression"])
-        head_params = jax.device_put(head_params)
+        #
+        # Serving is mesh-native like extraction (train/stage1.py
+        # embed_dataset): params replicated over the trainer's
+        # ('data','model') mesh, waves sharded over 'data' when the batch
+        # divides it — each row is computed on one device, so dp-sharded
+        # scores are bit-identical to single-device (no cross-row op in
+        # the graph). On one chip the mesh is (1,1) and this is a no-op.
+        from ..parallel.mesh import batch_sharding, replicated
+
+        self.mesh = trainer.mesh
+        rep = replicated(self.mesh)
+        self._waves_dp = batch_sharding(self.mesh)
+        self._waves_rep = rep
+        enc_params = jax.device_put(raw_enc_params, rep)
+        comp_params = jax.device_put(state.params["compression"], rep)
+        head_params = jax.device_put(head_params, rep)
         self.head_params = head_params
 
         @jax.jit
@@ -166,6 +179,15 @@ class SpoofScorer:
         self._score_core = score
         self._score = lambda waves: score(enc_params, comp_params,
                                           head_params, waves)
+
+    def put_waves(self, waves) -> jax.Array:
+        """Host batch -> device, dp-sharded over the mesh's 'data' axis
+        when the batch divides it, replicated otherwise (the device sets
+        must match the params' mesh either way)."""
+        n = self.mesh.shape.get("data", 1)
+        dp = n > 1 and waves.shape[0] % n == 0
+        return jax.device_put(waves, self._waves_dp if dp
+                              else self._waves_rep)
 
     @classmethod
     def from_checkpoints(cls, stage1_dir: str, stage2_dir: str,
@@ -230,8 +252,10 @@ class SpoofScorer:
         16-bit PCM (half the H2D bytes; exact for unresampled PCM —
         ops/wire.py)."""
         if wire == "int16":
-            return np.asarray(self._score(jnp.asarray(quantize_wire(waves))))
-        return np.asarray(self._score(jnp.asarray(waves, jnp.float32)))
+            return np.asarray(self._score(self.put_waves(
+                quantize_wire(waves))))
+        return np.asarray(self._score(self.put_waves(
+            np.asarray(waves, np.float32))))
 
     def score_long_waveforms(self, waves, hop_seconds: float = 2.5,
                              agg: str = "mean", batch: int = 8,
@@ -277,7 +301,7 @@ class SpoofScorer:
         logits, labels = [], []
         for lg, b in stream_through_device(
             pipe.sequential(),
-            lambda b: jax.device_put(b.waveforms.astype(np.float32)),
+            lambda b: self.put_waves(b.waveforms.astype(np.float32)),
             self._score,
         ):
             logits.append(lg[b.valid])
