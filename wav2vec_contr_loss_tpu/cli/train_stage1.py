@@ -76,7 +76,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     add_multihost_arg(p)
     p.add_argument("--param_sharding", type=str, default=None,
-                   choices=["replicated", "fsdp"])
+                   choices=["replicated", "fsdp", "pp"])
+    p.add_argument("--pipeline_microbatches", type=int, default=None,
+                   help="GPipe microbatches under --param_sharding pp "
+                        "(parallel/pipeline.py)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="mesh 'model'-axis size (devices per model group): "
+                        ">1 enables tensor parallelism, or pipeline stages "
+                        "under --param_sharding pp; remaining devices form "
+                        "the 'data' axis")
     p.add_argument("--wire_dtype", type=str, default=None,
                    choices=["float32", "int16"],
                    help="waveform H2D wire format (int16 halves input "
@@ -97,7 +105,8 @@ def config_from_args(args) -> Stage1Config:
               "alpha_end", "alpha_ramp_epochs", "rawboost_prob",
               "rawboost_mode", "rawboost_fir_impl", "attention_layout",
               "conv_ln_impl", "param_sharding", "max_duration_seconds",
-              "hidden_dim", "input_dim", "wire_dtype", "grad_dtype"):
+              "hidden_dim", "input_dim", "wire_dtype", "grad_dtype",
+              "pipeline_microbatches"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v
@@ -155,9 +164,14 @@ def main(argv=None) -> None:
     if args.input_dim is None and cfg.input_dim != enc_config.hidden_size:
         # compression input dim follows the encoder architecture
         cfg = cfg.replace(input_dim=enc_config.hidden_size)
+    mesh = None
+    if getattr(args, "mesh_model", 1) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_model=args.mesh_model)
     trainer = Stage1Trainer(
         cfg, enc_config=enc_config, enc_params=enc_params,
-        loss_mode=args.loss_mode,
+        loss_mode=args.loss_mode, mesh=mesh,
     )
     start_epoch = 1
     if args.resume:

@@ -132,8 +132,15 @@ class Stage1Config:
     # Parameter/optimizer-state layout over the mesh: 'replicated'
     # (XLS-R-300m fits per chip) | 'fsdp' (ZeRO-3: stacked layer params +
     # Adam state sharded along 'data'; XLA all-gathers per layer and
-    # reduce-scatters grads — for bigger encoders / smaller chips)
+    # reduce-scatters grads — for bigger encoders / smaller chips) | 'pp'
+    # (pipeline parallelism: the layer stack splits into mesh-'model'-many
+    # contiguous stages, microbatches flow over ICI via ppermute, params +
+    # Adam state shard per stage — parallel/pipeline.py; composes with dp
+    # on the 'data' axis, mutually exclusive with tensor parallelism)
     param_sharding: str = "replicated"
+    # GPipe microbatches per step under param_sharding='pp' (batch_size
+    # must divide; more microbatches shrink the (S-1)/(M+S-1) bubble)
+    pipeline_microbatches: int = 2
     # AdamW first-moment storage. 'bfloat16' halves mu traffic/residency
     # (~1.3 GB less HBM per step for the 315M-param encoder) — measured
     # 148.1 vs 145.8 clips/s/chip at the bs=32 finetune recipe (r2 sweep).

@@ -129,6 +129,12 @@ class SpoofScorer:
                                stage2_cfg.dropout)
 
         enc = trainer.encoder
+        if trainer.enc_config.pipeline_stages > 1:
+            # pp is a training-time schedule; serving scores on whatever
+            # chips it has — same params, plain scanned stack
+            from ..models.wav2vec2 import Wav2Vec2Encoder
+
+            enc = Wav2Vec2Encoder(trainer.enc_config.with_(pipeline_stages=1))
         comp = trainer.compression
         raw_enc_params = (state.params.get("encoder")
                           or state.frozen.get("encoder"))
@@ -140,7 +146,8 @@ class SpoofScorer:
             from ..models.wav2vec2 import Wav2Vec2Encoder
             from ..ops.quant import quantize_encoder_params
 
-            enc = Wav2Vec2Encoder(trainer.enc_config.with_(quant=quantize))
+            enc = Wav2Vec2Encoder(trainer.enc_config.with_(
+                quant=quantize, pipeline_stages=1))
             raw_enc_params = quantize_encoder_params(raw_enc_params)
         # Params MUST be jit ARGUMENTS, not closure captures: a closed-over
         # array is embedded into the lowered module as a literal constant,

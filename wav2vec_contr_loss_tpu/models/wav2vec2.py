@@ -119,6 +119,19 @@ class Wav2Vec2Config:
     # (fused VMEM LN+GELU fwd/bwd — one HBM pass each way instead of
     # XLA's several over the huge early activations)
     conv_ln_impl: str = "xla"
+    # Pipeline parallelism over the layer stack (parallel/pipeline.py):
+    # >1 splits the num_layers stack into that many contiguous stages over
+    # the mesh 'model' axis (GPipe microbatch schedule via shard_map +
+    # ppermute). Requires Wav2Vec2Encoder(mesh=...), num_layers divisible
+    # by stages, stages == mesh 'model' size, and is mutually exclusive
+    # with tensor parallelism (both consume the 'model' axis). Completes
+    # the scaling surface for encoders too large to replicate per chip;
+    # the reference has no pipeline story (stage1_utils.py:156-172 is a
+    # dead DDP scaffold).
+    pipeline_stages: int = 1
+    # GPipe microbatches per step (batch must divide): more microbatches
+    # shrink the pipeline bubble (stages-1)/(micro+stages-1)
+    pipeline_microbatches: int = 2
     # int8 quantization of the transformer's Dense matmuls — SERVING ONLY
     # (round() has zero gradient; trainers keep 'none'). 'w8a8' runs the
     # contractions int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e)
@@ -445,6 +458,31 @@ class FeedForward(nn.Module):
         return _dropout(self, cfg, x, cfg.hidden_dropout, deterministic)
 
 
+def _remat_policy(name: str):
+    """Checkpoint policy for rematerialized encoder layers.
+
+    'full': recompute everything in bwd (max memory saving);
+    'dots': keep non-batch matmul outputs (qkv/out/ff) resident,
+      recompute attention scores + softmax + elementwise;
+    'dots_all': keep ALL matmul outputs incl. the (B,H,T,T) attention
+      products — cheapest recompute, ~60 MB/layer more;
+    '*_ffact' variants additionally keep the named FF GELU outputs
+      (~65 MB/layer) so bwd skips the erf recompute."""
+    return {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_all": jax.checkpoint_policies.dots_saveable,
+        "dots_ffact": jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("ffn_act"),
+        ),
+        "dots_all_ffact": jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_saveable,
+            jax.checkpoint_policies.save_only_these_names("ffn_act"),
+        ),
+        "full": None,
+    }[name]
+
+
 class EncoderLayer(nn.Module):
     """One transformer block; `do_stable_layer_norm` picks pre-LN (XLS-R)
     vs post-LN (large-960h) residual placement."""
@@ -486,9 +524,14 @@ class Wav2Vec2Encoder(nn.Module):
       all_hidden:  (K, B, T', D), only when return_all_hidden_states=True
                    (API parity with the reference's (B,K,F,T) contract,
                    reference: encoder.py:65-68).
+
+    `mesh` is only required (and only consulted) when
+    config.pipeline_stages > 1: the GPipe executor shard_maps over the
+    mesh's 'model' axis. Everything else is placement-agnostic GSPMD.
     """
 
     config: Wav2Vec2Config
+    mesh: Optional[object] = None  # jax.sharding.Mesh when pipelining
 
     @nn.compact
     def __call__(
@@ -578,29 +621,8 @@ class Wav2Vec2Encoder(nn.Module):
                 return (h_out, acc), ys
 
         if cfg.remat:
-            # 'full': recompute everything in bwd (max memory saving);
-            # 'dots': keep non-batch matmul outputs (qkv/out/ff) resident,
-            #   recompute attention scores + softmax + elementwise;
-            # 'dots_all': keep ALL matmul outputs incl. the (B,H,T,T)
-            #   attention products — cheapest recompute, ~60 MB/layer more
-            policy = {
-                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                "dots_all": jax.checkpoint_policies.dots_saveable,
-                # dots + the named FF GELU outputs: trades ~65 MB/layer of
-                # residents for skipping the erf recompute in bwd
-                "dots_ffact": jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                    jax.checkpoint_policies.save_only_these_names("ffn_act"),
-                ),
-                # everything matmul-shaped + the GELU outputs resident:
-                # bwd recompute shrinks to LayerNorms/softmax/elementwise
-                "dots_all_ffact": jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_saveable,
-                    jax.checkpoint_policies.save_only_these_names("ffn_act"),
-                ),
-                "full": None,
-            }[cfg.remat_policy]
-            body_cls = nn.remat(_Body, prevent_cse=False, policy=policy)
+            body_cls = nn.remat(_Body, prevent_cse=False,
+                                policy=_remat_policy(cfg.remat_policy))
         else:
             body_cls = _Body
         ScanBody = nn.scan(
@@ -613,9 +635,22 @@ class Wav2Vec2Encoder(nn.Module):
         acc_dtype = (cfg.dtype if cfg.layer_mean_dtype == "bfloat16"
                      else jnp.float32)
         acc0 = hidden.astype(acc_dtype)
-        (h_last, acc), ys = ScanBody(cfg, name="layers")(
-            (hidden, acc0), jnp.arange(cfg.num_layers)
-        )
+        if cfg.pipeline_stages > 1 and not self.is_initializing():
+            # GPipe pipeline over the 'model' mesh axis. Init always takes
+            # the scan path (creates the identical stacked param tree);
+            # apply reads that tree and drives the layers functionally.
+            if return_all_hidden_states:
+                raise ValueError(
+                    "return_all_hidden_states is unsupported with "
+                    "pipeline_stages > 1 (the full (K,B,T,D) stack would "
+                    "have to ride the pipe)")
+            h_last, layer_sum = self._pipelined_stack(
+                hidden, key_bias, deterministic, acc_dtype)
+            acc, ys = acc0 + layer_sum, None
+        else:
+            (h_last, acc), ys = ScanBody(cfg, name="layers")(
+                (hidden, acc0), jnp.arange(cfg.num_layers)
+            )
 
         if cfg.do_stable_layer_norm:
             final = nn.LayerNorm(
@@ -643,3 +678,54 @@ class Wav2Vec2Encoder(nn.Module):
                 stack = stack.at[-1].set(last_hidden.astype(jnp.float32))
             out["all_hidden"] = jnp.concatenate([first, stack], axis=0)
         return out
+
+    def _pipelined_stack(self, hidden, key_bias, deterministic, acc_dtype):
+        """Run the transformer stack as a GPipe pipeline (apply-time only).
+
+        Reads the scan-created stacked params via `self.variables` and
+        drives EncoderLayer functionally per stage — the param tree, and
+        therefore checkpoints and HF conversion, are identical to the scan
+        path. Dropout masks decorrelate across (layer, microbatch) via
+        per-pair derived keys (they do NOT reproduce the scan path's
+        split_rngs stream — pipeline training is its own rng schedule, like
+        any resharding of a stochastic program)."""
+        cfg = self.config
+        if self.mesh is None:
+            raise ValueError(
+                "pipeline_stages > 1 requires Wav2Vec2Encoder(mesh=...) "
+                "with a mesh whose 'model' axis has exactly "
+                f"{cfg.pipeline_stages} devices")
+        n_model = dict(self.mesh.shape).get("model", 1)
+        if n_model != cfg.pipeline_stages:
+            raise ValueError(
+                f"pipeline_stages={cfg.pipeline_stages} != mesh 'model' "
+                f"axis size {n_model}")
+        stacked = self.variables["params"]["layers"]["layer"]
+
+        L, M = cfg.num_layers, cfg.pipeline_microbatches
+        needs_rng = (not deterministic) and (
+            cfg.hidden_dropout > 0 or cfg.attention_dropout > 0
+            or cfg.activation_dropout > 0)
+        if needs_rng:
+            keys = jax.random.split(self.make_rng("dropout"), L * M)
+            if jax.dtypes.issubdtype(keys.dtype, jax.dtypes.prng_key):
+                keys = jax.random.key_data(keys)  # raw uint32 rides the pipe
+            layer_rngs = keys.reshape(L, M, *keys.shape[1:])
+        else:
+            layer_rngs = None
+
+        def layer_fn(p_l, h, kb, rng_l):
+            rngs = None if rng_l is None else {"dropout": rng_l}
+            return EncoderLayer(cfg).apply(
+                {"params": p_l}, h, kb, deterministic, rngs=rngs)
+
+        if cfg.remat:
+            layer_fn = jax.checkpoint(
+                layer_fn, policy=_remat_policy(cfg.remat_policy),
+                prevent_cse=False)
+
+        from ..parallel.pipeline import gpipe_stack
+
+        return gpipe_stack(
+            layer_fn, stacked, hidden, key_bias, layer_rngs,
+            mesh=self.mesh, n_micro=M, sum_dtype=acc_dtype)

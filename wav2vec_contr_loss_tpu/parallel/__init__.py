@@ -6,3 +6,4 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_params,
 )
+from .pipeline import gpipe_stack  # noqa: F401

@@ -117,7 +117,7 @@ def _with_fsdp_axis(spec: P, shape, n_data: int) -> P:
 
 
 def shard_params(params, mesh: Mesh, tensor_parallel: Optional[bool] = None,
-                 fsdp: bool = False):
+                 fsdp: bool = False, pipeline: bool = False):
     """Apply the layout to a parameter pytree via device_put.
 
     fsdp=True additionally shards every scan-stacked encoder-layer
@@ -126,10 +126,22 @@ def shard_params(params, mesh: Mesh, tensor_parallel: Optional[bool] = None,
     on use and reduce-scatters its gradient, and the optimizer state
     (mirroring the param tree) shrinks by the data-axis size per chip.
     Params whose leading dim doesn't divide the data axis stay on their
-    base layout (the conv extractor / heads are small and replicated)."""
+    base layout (the conv extractor / heads are small and replicated).
+
+    pipeline=True shards the stacked layer params along 'model' instead —
+    stage s of the GPipe executor (parallel/pipeline.py) owns rows
+    [s*L/S, (s+1)*L/S), so placement doubles as the pipeline's stage
+    layout. Implies tensor_parallel=False ('model' is the pipe axis);
+    mutually exclusive with fsdp."""
+    if pipeline:
+        if fsdp:
+            raise ValueError("pipeline and fsdp shard the layer stack on "
+                             "different axes — pick one")
+        tensor_parallel = False  # 'model' carries stages, not Megatron cols
     if tensor_parallel is None:
         tensor_parallel = mesh.shape.get("model", 1) > 1
     n_data = mesh.shape.get("data", 1)
+    n_model = mesh.shape.get("model", 1)
 
     def path_str(kp):
         parts = []
@@ -152,6 +164,14 @@ def shard_params(params, mesh: Mesh, tensor_parallel: Optional[bool] = None,
             new = _with_fsdp_axis(spec, np.shape(leaf), n_data)
             fsdp_hits[1] += new != spec
             spec = new
+        if pipeline and "layers/" in path:
+            shape = np.shape(leaf)
+            if not shape or shape[0] % max(n_model, 1):
+                raise ValueError(
+                    f"pipeline: stacked param {path} leading dim "
+                    f"{shape and shape[0]} does not divide the 'model' "
+                    f"axis ({n_model} stages)")
+            spec = P("model", *([None] * (len(shape) - 1)))
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     out = jax.tree_util.tree_map_with_path(place, params)

@@ -172,8 +172,16 @@ class Stage1Trainer:
             freeze_feature_extractor=getattr(
                 cfg, "freeze_feature_extractor", False),
             conv_ln_impl=getattr(cfg, "conv_ln_impl", "xla"),
+            # param_sharding='pp': the mesh 'model' axis carries GPipe
+            # stages (parallel/pipeline.py) instead of Megatron columns
+            pipeline_stages=(self.mesh.shape.get("model", 1)
+                             if getattr(cfg, "param_sharding",
+                                        "replicated") == "pp" else 1),
+            pipeline_microbatches=getattr(cfg, "pipeline_microbatches", 2),
         )
-        self.encoder = Wav2Vec2Encoder(self.enc_config)
+        pp = self.enc_config.pipeline_stages > 1
+        self.encoder = Wav2Vec2Encoder(self.enc_config,
+                                       mesh=self.mesh if pp else None)
         self.compression = CompressionModule(
             input_dim=cfg.input_dim, hidden_dim=cfg.hidden_dim,
             dropout_rate=cfg.dropout,
@@ -241,11 +249,12 @@ class Stage1Trainer:
         # (GSPMD propagation) instead of replicating.
         from ..parallel.mesh import shard_params
 
-        fsdp = getattr(self.cfg, "param_sharding", "replicated") == "fsdp"
+        mode = getattr(self.cfg, "param_sharding", "replicated")
+        fsdp, pp = mode == "fsdp", mode == "pp"
         rep = replicated(self.mesh)
-        params = shard_params(state.params, self.mesh, fsdp=fsdp)
-        frozen = shard_params(state.frozen, self.mesh, fsdp=fsdp)
-        if fsdp:
+        params = shard_params(state.params, self.mesh, fsdp=fsdp, pipeline=pp)
+        frozen = shard_params(state.frozen, self.mesh, fsdp=fsdp, pipeline=pp)
+        if fsdp or pp:
             # re-layout the incoming (possibly checkpoint-restored) mu/nu
             # values onto the param layout — never re-initialize here
             from ..parallel.mesh import shard_opt_state
