@@ -179,3 +179,8 @@ def test_bench_extract_smoke():
     assert "extract_clips_per_sec" in s
     assert out["extract_clips_per_sec"] > 0
     assert out["extract_batch"] == 4
+    # the int8 (quantized-encoder) leg drives the same stream through the
+    # quant graph — the runbook's w8a8/w8 extract rows (ops/quant.py)
+    qout = bench_extract(batch=4, seconds=1, n_batches=3, model="tiny",
+                         quantize="w8a8")
+    assert qout["extract_clips_per_sec"] > 0

@@ -136,12 +136,14 @@ def bench_supcon(batch: int = 256, dim: int = 256, repeats: int = 50) -> dict:
 
 
 def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
-                  model: str = "xlsr", unroll: int = 1) -> dict:
+                  model: str = "xlsr", unroll: int = 1,
+                  quantize: str = "none") -> dict:
     """Embedding-extraction throughput at a production batch size through
     the overlapped H2D/compute/D2H path (stream_through_device) — the
     longest leg of the 153k-clip pipeline after training
     (reference: extract_stage1_embeddings.py:168-360). Replaces the r1
-    B=4 330 clips/s figure (VERDICT r2 ask #6)."""
+    B=4 330 clips/s figure (VERDICT r2 ask #6). `quantize` ('w8a8'|'w8')
+    measures the int8-encoder forward (ops/quant.py) on the same stream."""
     import jax
     import jax.numpy as jnp
 
@@ -169,6 +171,35 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
     trainer = Stage1Trainer(cfg, enc_config=enc_cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
+    embed_step = trainer.embed_step
+    if quantize != "none":
+        # int8 extraction: same graph with the transformer Dense matmuls
+        # quantized at bind time (ops/quant.py — the serving path's
+        # encoder, reused for the offline-extraction shape). Params ride
+        # as jit ARGUMENTS (never closure captures: the r3 compile-size
+        # lesson, eval/serving.py).
+        from ..models.compression import clip_embedding
+        from ..models.wav2vec2 import Wav2Vec2Encoder
+        from ..ops.quant import quantize_encoder_params
+        from ..ops.wire import dequantize_wire
+
+        qenc = Wav2Vec2Encoder(trainer.enc_config.with_(quant=quantize))
+        qparams = jax.device_put(quantize_encoder_params(
+            state.frozen.get("encoder") or state.params.get("encoder")))
+        comp_params = jax.device_put(state.params["compression"])
+
+        @jax.jit
+        def _qembed(enc_p, comp_p, w):
+            w = dequantize_wire(w)
+            attn = (w != 0.0).astype(jnp.int32)
+            out = qenc.apply({"params": enc_p}, w, attn)
+            seq = trainer.compression.apply({"params": comp_p},
+                                            out["layer_mean"])
+            return clip_embedding(seq)
+
+        def embed_step(_params, _frozen, batch_dict):
+            return _qembed(qparams, comp_params, batch_dict["waveforms"])
+
     rng = np.random.default_rng(0)
     t = seconds * cfg.target_sample_rate
     wave = rng.normal(0, 0.2, (batch, t)).astype(np.float32)
@@ -184,13 +215,13 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
         for z, b in stream_through_device(
             batches(),
             lambda b: jax.device_put(b.waveforms),
-            lambda w: trainer.embed_step(state.params, state.frozen,
+            lambda w: embed_step(state.params, state.frozen,
                                          {"waveforms": w}),
         ):
             n += z.shape[0]
         return n
 
-    _ = run_stream() if n_batches <= 2 else np.asarray(trainer.embed_step(
+    _ = run_stream() if n_batches <= 2 else np.asarray(embed_step(
         state.params, state.frozen,
         {"waveforms": jnp.asarray(wave)}))  # compile once
     t0 = time.perf_counter()
@@ -200,11 +231,11 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
     # axon H2D tunnel (~40 MB/s measured r3) — a real TPU host's PCIe
     # feed sees ~this rate. Same split as bench_serving.
     wave_dev = jax.device_put(jnp.asarray(wave))
-    _ = np.asarray(trainer.embed_step(state.params, state.frozen,
+    _ = np.asarray(embed_step(state.params, state.frozen,
                                       {"waveforms": wave_dev}))
     t0 = time.perf_counter()
     for _ in range(n_batches):
-        _ = np.asarray(trainer.embed_step(state.params, state.frozen,
+        _ = np.asarray(embed_step(state.params, state.frozen,
                                           {"waveforms": wave_dev}))
     dt_r = time.perf_counter() - t0
     # int16 wire leg: same stream, half the H2D bytes (ops/wire.py)
@@ -215,13 +246,13 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
         for z, b in stream_through_device(
             batches(),
             lambda b: jax.device_put(quantize_wire(b.waveforms)),
-            lambda w: trainer.embed_step(state.params, state.frozen,
+            lambda w: embed_step(state.params, state.frozen,
                                          {"waveforms": w}),
         ):
             n += z.shape[0]
         return n
 
-    _ = np.asarray(trainer.embed_step(  # compile the int16 entry
+    _ = np.asarray(embed_step(  # compile the int16 entry
         state.params, state.frozen,
         {"waveforms": jnp.asarray(quantize_wire(wave))}))
     t0 = time.perf_counter()
@@ -340,6 +371,7 @@ def main(argv=None) -> None:
                    choices=["all", "decode", "rawboost", "supcon", "serving",
                             "extract"])
     p.add_argument("--extract_batch", type=int, default=32)
+    p.add_argument("--extract_seconds", type=int, default=5)
     p.add_argument("--serving_model", type=str, default="xlsr",
                    choices=["xlsr", "tiny"])
     p.add_argument("--serving_batch", type=int, default=8)
@@ -369,6 +401,7 @@ def main(argv=None) -> None:
                                      quantize=args.serving_quant))
     if args.which == "extract":  # not in 'all': compiles a full encoder
         results.update(bench_extract(batch=args.extract_batch,
+                                     seconds=args.extract_seconds,
                                      model=args.serving_model,
                                      unroll=args.serving_unroll,
                                      quantize=args.serving_quant))
