@@ -6,8 +6,9 @@ the knob only moves where the cast happens), the dW leaves for those
 kernels come out bf16 (halving the dW band's HBM writes,
 docs/PROFILE_r3.md), the optimizer math stays fp32, and the parameter
 trajectory stays within a tight envelope of the f32-gradient run.
-Reference: stage-1 is pure fp32 torch (train_stage1.py:93-96) — this knob
-is non-default and one flag from the reference-exact path.
+Reference: stage-1 is pure fp32 torch (train_stage1.py:93-96). Adopted
+r3 (+3.0% measured): the default 'auto' resolves to bf16 dW under bf16
+compute; `grad_dtype='float32'` is the reference-exact path in one flag.
 """
 
 import numpy as np

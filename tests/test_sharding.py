@@ -270,3 +270,121 @@ def test_baseline_fsdp_layout():
          "labels": jax.device_put(labels[:8], sh)},
     )
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---------------------------------------------------------------- sp
+# Megatron-style sequence parallelism (models/wav2vec2.py
+# `sequence_parallel`): the (B, T', D) residual stream is frame-sharded
+# over the mesh 'model' axis via GSPMD constraints. Placement-only — every
+# test below pins that numerics are untouched. Beyond the reference, whose
+# sequence story is 'none, by construction' (SURVEY.md §2.7).
+
+
+def test_sequence_parallel_train_step_numerics():
+    """One dp x tp train step with sequence_parallel=True must agree with
+    the single-device, sp-off run (pure placement change)."""
+    cfg = Stage1Config(
+        batch_size=16, max_duration_seconds=1, target_sample_rate=2000,
+        input_dim=32, hidden_dim=16, use_rawboost=False,
+        finetune_encoder=True, compute_dtype="float32", seed=0,
+    )
+    wave, labels = _batch()
+    batch = {"waveforms": wave, "labels": labels, "multi_labels": labels}
+
+    def run(mesh, sp):
+        trainer = Stage1Trainer(cfg.replace(sequence_parallel=sp),
+                                enc_config=TINY_ENC, mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        sh = batch_sharding(mesh)
+        dev_batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+        state, metrics = trainer.train_step(
+            state, dev_batch, jnp.zeros((), jnp.float32))
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_sp, params_sp = run(make_mesh(n_model=2), True)
+    loss_single, params_single = run(
+        make_mesh(devices=np.array(jax.devices()[:1])), False)
+    assert np.isfinite(loss_sp)
+    assert loss_sp == pytest.approx(loss_single, rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(params_sp),
+                    jax.tree_util.tree_leaves(params_single)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_sequence_parallel_composes_with_fsdp():
+    """sp shards activations over 'model' while fsdp shards the layer
+    stack over 'data' — orthogonal axes, must compose in one step."""
+    cfg = Stage1Config(
+        batch_size=16, max_duration_seconds=1, target_sample_rate=2000,
+        input_dim=32, hidden_dim=16, use_rawboost=False,
+        finetune_encoder=True, compute_dtype="float32", seed=0,
+        param_sharding="fsdp", sequence_parallel=True,
+    )
+    wave, labels = _batch()
+    batch = {"waveforms": wave, "labels": labels, "multi_labels": labels}
+    # (2, 2): data=2 divides the 2-layer stack (fsdp), model=2 carries sp
+    mesh = make_mesh(n_model=2, devices=np.array(jax.devices()[:4]))
+    trainer = Stage1Trainer(cfg, enc_config=TINY_ENC, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    sh = batch_sharding(mesh)
+    dev_batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    state, metrics = trainer.train_step(
+        state, dev_batch, jnp.zeros((), jnp.float32))
+    loss = float(metrics["loss"])
+
+    ref = Stage1Trainer(
+        cfg.replace(param_sharding="replicated", sequence_parallel=False),
+        enc_config=TINY_ENC,
+        mesh=make_mesh(devices=np.array(jax.devices()[:1])))
+    rstate = ref.init_state(jax.random.PRNGKey(0))
+    rbatch = {k: jax.device_put(v, batch_sharding(ref.mesh))
+              for k, v in batch.items()}
+    _, rmetrics = ref.train_step(rstate, rbatch, jnp.zeros((), jnp.float32))
+    assert loss == pytest.approx(float(rmetrics["loss"]), rel=1e-4)
+
+
+def test_sequence_parallel_constraints_in_lowering():
+    """The knob must actually emit sharding constraints (one pre-stack +
+    one per scan body), not silently no-op."""
+    from wav2vec_contr_loss_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    mesh = make_mesh(n_model=2)
+    wave = jnp.zeros((2, 2000), jnp.float32)
+
+    def lowered_text(sp):
+        enc = Wav2Vec2Encoder(TINY_ENC.with_(sequence_parallel=sp),
+                              mesh=mesh if sp else None)
+        params = enc.init(jax.random.PRNGKey(0), wave)
+
+        def fwd(p, w):
+            return enc.apply(p, w)["layer_mean"]
+
+        return jax.jit(fwd).lower(params, wave).as_text()
+
+    # shardy lowers with_sharding_constraint to sdy.sharding_constraint;
+    # pre-shardy jax used a `Sharding` custom-call — accept either
+    def n_constraints(text):
+        return max(text.count("sharding_constraint"), text.count("@Sharding"))
+
+    n_on = n_constraints(lowered_text(True))
+    n_off = n_constraints(lowered_text(False))
+    assert n_on >= 2, f"expected >=2 sharding constraints, found {n_on}"
+    assert n_on > n_off
+
+
+def test_sequence_parallel_validation():
+    from wav2vec_contr_loss_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    wave = jnp.zeros((2, 2000), jnp.float32)
+    # pp + sp both claim the 'model' axis — refuse at trace time
+    enc = Wav2Vec2Encoder(
+        TINY_ENC.with_(sequence_parallel=True, pipeline_stages=2),
+        mesh=make_mesh(n_model=2))
+    with pytest.raises(ValueError, match="sequence_parallel"):
+        enc.init(jax.random.PRNGKey(0), wave)
+    # sp without a mesh cannot build the NamedSharding
+    enc2 = Wav2Vec2Encoder(TINY_ENC.with_(sequence_parallel=True))
+    params = enc2.init(jax.random.PRNGKey(0), wave)  # init skips constraints
+    with pytest.raises(ValueError, match="mesh"):
+        enc2.apply(params, wave)

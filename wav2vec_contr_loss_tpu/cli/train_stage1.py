@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline_microbatches", type=int, default=None,
                    help="GPipe microbatches under --param_sharding pp "
                         "(parallel/pipeline.py)")
+    p.add_argument("--sequence_parallel", type=int, default=None,
+                   choices=[0, 1],
+                   help="Megatron-style sequence parallelism: frame-shard "
+                        "the encoder's residual stream over the 'model' "
+                        "axis (needs --mesh_model > 1; composes with "
+                        "TP/fsdp, excludes --param_sharding pp)")
     p.add_argument("--mesh_model", type=int, default=1,
                    help="mesh 'model'-axis size (devices per model group): "
                         ">1 enables tensor parallelism, or pipeline stages "
@@ -111,7 +117,7 @@ def config_from_args(args) -> Stage1Config:
         if v is not None:
             overrides[f] = v
     for f in ("use_rawboost", "finetune_encoder", "remat_encoder",
-              "freeze_feature_extractor"):
+              "freeze_feature_extractor", "sequence_parallel"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = bool(v)

@@ -141,6 +141,14 @@ class Stage1Config:
     # GPipe microbatches per step under param_sharding='pp' (batch_size
     # must divide; more microbatches shrink the (S-1)/(M+S-1) bubble)
     pipeline_microbatches: int = 2
+    # Megatron-style sequence parallelism: shard the encoder's (B, T', D)
+    # residual stream over the mesh ('data', 'model') axes so LN/dropout/
+    # residual regions run on T/n_model frames per chip and each block's
+    # tensor-parallel all-reduce becomes reduce-scatter + all-gather.
+    # Composes with tensor parallelism and param_sharding='fsdp';
+    # mutually exclusive with 'pp'; no-op at n_model=1
+    # (models/wav2vec2.py `sequence_parallel`).
+    sequence_parallel: bool = False
     # AdamW first-moment storage. 'bfloat16' halves mu traffic/residency
     # (~1.3 GB less HBM per step for the 315M-param encoder) — measured
     # 148.1 vs 145.8 clips/s/chip at the bs=32 finetune recipe (r2 sweep).
@@ -164,9 +172,15 @@ class Stage1Config:
     # is BIT-IDENTICAL (kernels are cast to bf16 at use anyway; only the
     # storage point of the cast moves); the only deviation is bf16
     # rounding of dW before the fp32 Adam math (MXU still accumulates the
-    # dW contraction in fp32) — same class as adam_mu/nu_dtype. Requires
-    # compute_dtype='bfloat16'. 'float32' is the reference-exact default.
-    grad_dtype: str = "float32"
+    # dW contraction in fp32) — same class as adam_mu/nu_dtype. Measured
+    # +3.0% on-chip (150.8 -> 155.3 clips/s at the bs=32 finetune recipe,
+    # r3) and ADOPTED: the default 'auto' resolves to bf16 dW exactly when
+    # compute_dtype='bfloat16' (the recipe) and to f32 otherwise (fp32
+    # compute consumes fp32 kernels — moving the cast there would change
+    # the forward). 'float32' restores the reference-exact gradient dtype
+    # in one flag (PARITY.md deviation #9); explicit 'bfloat16' with fp32
+    # compute is refused.
+    grad_dtype: str = "auto"
 
     def replace(self, **kw) -> "Stage1Config":
         return dataclasses.replace(self, **kw)
@@ -308,6 +322,7 @@ class BaselineConfig:
     softmax_dtype: str = "bfloat16"
     adam_mu_dtype: str = "bfloat16"
     adam_nu_dtype: str = "bfloat16"   # same adoption as Stage1Config (r3)
+    grad_dtype: str = "auto"          # same adoption as Stage1Config (r3)
     rawboost_fir_impl: str = "fft"
     param_sharding: str = "replicated"  # | 'fsdp' (see Stage1Config)
 

@@ -132,6 +132,20 @@ class Wav2Vec2Config:
     # GPipe microbatches per step (batch must divide): more microbatches
     # shrink the pipeline bubble (stages-1)/(micro+stages-1)
     pipeline_microbatches: int = 2
+    # Megatron-style sequence parallelism, expressed purely as GSPMD
+    # sharding constraints: the residual stream (B, T', D) between
+    # transformer blocks is sharded over ('data', 'model') — frames split
+    # across the tensor-parallel axis — so LayerNorm / dropout / residual
+    # adds / the layer-mean accumulator run on T/n_model frames per chip
+    # and XLA turns each block's Megatron all-reduce into a
+    # reduce-scatter + all-gather pair (same bytes, but the elementwise
+    # regions' compute and activation residency shrink by n_model).
+    # Requires Wav2Vec2Encoder(mesh=...) with a 'model' axis; composes
+    # with tensor parallelism (it shards what TP leaves replicated) and
+    # is mutually exclusive with pipeline_stages > 1 ('model' carries
+    # stages there). No-op on a 'model'=1 mesh. The reference has no
+    # sequence story at all (5 s clips, T<=250 — SURVEY.md §2.7).
+    sequence_parallel: bool = False
     # int8 quantization of the transformer's Dense matmuls — SERVING ONLY
     # (round() has zero gradient; trainers keep 'none'). 'w8a8' runs the
     # contractions int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e)
@@ -600,6 +614,30 @@ class Wav2Vec2Encoder(nn.Module):
             )(hidden).astype(cfg.dtype)
         hidden = _dropout(self, cfg, hidden, cfg.hidden_dropout, deterministic)
 
+        # ---- sequence parallelism (GSPMD constraints on the residual
+        # stream; see the config-field comment) ----
+        if cfg.sequence_parallel and cfg.pipeline_stages > 1:
+            raise ValueError(
+                "sequence_parallel shards frames over the 'model' axis, "
+                "which pipeline_stages > 1 uses for GPipe stages — pick one")
+        if cfg.sequence_parallel and not self.is_initializing():
+            if self.mesh is None:
+                raise ValueError(
+                    "sequence_parallel requires Wav2Vec2Encoder(mesh=...) "
+                    "so the (B, T', D) residual stream can be constrained "
+                    "over the mesh ('data', 'model') axes")
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            _sp_sharding = NamedSharding(
+                self.mesh, PartitionSpec("data", "model"))
+
+            def sp_constrain(y):
+                return jax.lax.with_sharding_constraint(y, _sp_sharding)
+        else:
+            def sp_constrain(y):
+                return y
+        hidden = sp_constrain(hidden)
+
         # ---- transformer stack as one scan over stacked layer params ----
         collect_all = return_all_hidden_states
 
@@ -613,9 +651,12 @@ class Wav2Vec2Encoder(nn.Module):
             @nn.compact
             def __call__(self, carry, _):
                 h, acc = carry
-                h_out = EncoderLayer(self.cfg_inner, name="layer")(
+                # sp: re-pin the carry to the frame-sharded layout each
+                # layer so the LN/dropout/residual regions stay local and
+                # XLA closes each block with reduce-scatter, not all-reduce
+                h_out = sp_constrain(EncoderLayer(self.cfg_inner, name="layer")(
                     h, key_bias, deterministic
-                )
+                ))
                 acc = acc + h_out.astype(acc.dtype)
                 ys = h_out if collect_all else 0
                 return (h_out, acc), ys

@@ -113,6 +113,9 @@ class BaselineTrainer:
                     == "bfloat16" else None)
         from ..ops.adam_bf16nu import adamw_storage_dtypes
 
+        from .stage1 import resolve_grad_bf16
+
+        grad_bf16 = resolve_grad_bf16(cfg)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.multi_transform(
@@ -120,9 +123,12 @@ class BaselineTrainer:
                     "head": adamw_storage_dtypes(
                         cfg.head_lr, weight_decay=cfg.weight_decay,
                         mu_dtype=mu_dtype, nu_dtype=nu_dtype),
+                    # bf16 encoder grads need the fp32-math Adam core
+                    # (stock optax runs EMA math in the grad dtype)
                     "encoder": adamw_storage_dtypes(
                         cfg.enc_lr, weight_decay=cfg.weight_decay,
-                        mu_dtype=mu_dtype, nu_dtype=nu_dtype),
+                        mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+                        force_core=grad_bf16),
                 },
                 labels,
             ),
@@ -176,6 +182,14 @@ class BaselineTrainer:
 
     def _build_steps(self) -> None:
         cfg = self.cfg
+        from .stage1 import cast_stacked_kernels_bf16, resolve_grad_bf16
+
+        grad_bf16 = resolve_grad_bf16(cfg)
+        if grad_bf16 and cfg.compute_dtype != "bfloat16":
+            # same refusal as Stage1Trainer: under fp32 compute the bf16
+            # kernel cast would CHANGE the forward
+            raise ValueError(
+                "grad_dtype='bfloat16' requires compute_dtype='bfloat16'")
 
         def train_step(state: BaselineState, batch: Dict):
             rng, k_rb, k_fwd = jax.random.split(state.rng, 3)
@@ -189,7 +203,18 @@ class BaselineTrainer:
                 logits = self._logits(params, state.frozen, wave, True, k_fwd)
                 return bce_logits_loss(logits, batch["labels"], self.pos_weight)
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                cast_stacked_kernels_bf16(state.params)
+                if grad_bf16 else state.params)
+            if grad_bf16:
+                # unlike stage-1 (head-only clip over f32 grads), the
+                # baseline's clip_by_global_norm spans the encoder too — a
+                # 315M-element bf16 norm reduction is too lossy, so upcast
+                # into the clip. The converts fuse into the norm/update
+                # loops: the dW kernels still WRITE bf16 and both readers
+                # read bf16-sized buffers.
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32), grads)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return state.replace(params=params, opt_state=opt_state,

@@ -107,6 +107,20 @@ def cast_stacked_kernels_bf16(params: Dict) -> Dict:
     return {**params, "encoder": {**params["encoder"], "layers": layers}}
 
 
+def resolve_grad_bf16(cfg) -> bool:
+    """Resolve the `grad_dtype` knob ('auto' | 'float32' | 'bfloat16').
+
+    'auto' (the default since the +3.0% on-chip adoption, r3) gives bf16
+    weight-gradients exactly when compute_dtype='bfloat16' — where the
+    forward already consumes bf16-cast kernels, so moving the cast is
+    numerically free for the forward. Explicit 'bfloat16' under fp32
+    compute is refused by the trainer (it would CHANGE the forward)."""
+    gd = getattr(cfg, "grad_dtype", "auto")
+    if gd == "auto":
+        return cfg.compute_dtype == "bfloat16"
+    return gd == "bfloat16"
+
+
 def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransformation:
     """Reference param groups: head clipped@5.0 + AdamW(head_lr); encoder
     AdamW(enc_lr); shared weight decay (train_stage1.py:93-96).
@@ -120,7 +134,7 @@ def build_optimizer(cfg: Stage1Config, params: Dict) -> optax.GradientTransforma
                 == "bfloat16" else None)
     # bf16 encoder grads need the fp32-math Adam core even when both
     # moments store fp32 (stock optax runs EMA math in the grad dtype)
-    grad_bf16 = getattr(cfg, "grad_dtype", "float32") == "bfloat16"
+    grad_bf16 = resolve_grad_bf16(cfg)
     from ..ops.adam_bf16nu import adamw_storage_dtypes
 
     head_tx = optax.chain(
@@ -178,10 +192,12 @@ class Stage1Trainer:
                              if getattr(cfg, "param_sharding",
                                         "replicated") == "pp" else 1),
             pipeline_microbatches=getattr(cfg, "pipeline_microbatches", 2),
+            sequence_parallel=getattr(cfg, "sequence_parallel", False),
         )
         pp = self.enc_config.pipeline_stages > 1
+        sp = self.enc_config.sequence_parallel
         self.encoder = Wav2Vec2Encoder(self.enc_config,
-                                       mesh=self.mesh if pp else None)
+                                       mesh=self.mesh if (pp or sp) else None)
         self.compression = CompressionModule(
             input_dim=cfg.input_dim, hidden_dim=cfg.hidden_dim,
             dropout_rate=cfg.dropout,
@@ -311,7 +327,7 @@ class Stage1Trainer:
 
     def _build_steps(self) -> None:
         cfg = self.cfg
-        grad_bf16 = getattr(cfg, "grad_dtype", "float32") == "bfloat16"
+        grad_bf16 = resolve_grad_bf16(cfg)
         if grad_bf16 and cfg.compute_dtype != "bfloat16":
             # with an fp32 compute dtype the bf16 kernel cast would CHANGE
             # the forward (kernels would round-trip through bf16 before the
