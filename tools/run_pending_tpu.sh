@@ -7,10 +7,11 @@
 #
 # Steps run SERIALLY (concurrent heavy jobs starve each other — CLAUDE.md)
 # and each prints one JSON line. Completed 2026-08-18: headline bench
-# (150.8), grad_dtype bf16 (155.3, adopted), int8 serving B=8 rows
-# (docs/SERVING.md). Remaining: the int8 EXTRACT rows below (new
-# programs — first compiles on the remote-compile service can take
-# 10-45 min each; cached reruns ~4 min).
+# (150.8), grad_dtype bf16 (155.3, adopted), int8 serving B=8 rows and
+# int8 extract B=32 rows (docs/SERVING.md — w8a8 405.6 resident).
+# Remaining: the layer_mean_dtype re-adjudication at the 155.3 base
+# (measured neutral at the r2 131.9 base; the carry band's relative
+# share grew as other bands shrank).
 set -u
 LOG=${1:-/tmp/pending_tpu_results.log}
 run() {
@@ -18,10 +19,6 @@ run() {
   timeout 5400 "$@" 2>&1 | tail -3 | tee -a "$LOG"
 }
 
-# int8 quantized extraction throughput, B=32 production shape
-run python -m wav2vec_contr_loss_tpu.cli.bench_components \
-    --which extract --serving_quant w8a8 --extract_batch 32
-run python -m wav2vec_contr_loss_tpu.cli.bench_components \
-    --which extract --serving_quant w8 --extract_batch 32
+run python bench.py --layer_mean_dtype bfloat16
 
 echo "=== done $(date -u '+%H:%M:%S') — results in $LOG" | tee -a "$LOG"
