@@ -306,7 +306,7 @@ class BaselineTrainer:
                     ckpt.save_checkpoint(
                         save_dir, "baseline_best", state, cfg.ckpt_config(),
                         {"epoch": epoch, "dev_eer": dev_eer, "dev_acc": dev_acc},
-                        self._sidecar_extra(),
+                        self._sidecar_extra(), block=False,
                     )
                     log_fn(f"[epoch {epoch:03d}] ✓ new best dev EER="
                            f"{best_eer * 100:.2f}%")
@@ -316,6 +316,8 @@ class BaselineTrainer:
                     log_fn(f"[EARLY STOP] patience {cfg.patience} reached "
                            f"(best EER={best_eer * 100:.2f}%)")
                     break
+        if save_dir is not None:
+            ckpt.wait_for_saves()
         return state, history
 
     def _sidecar_extra(self) -> Dict:

@@ -31,10 +31,50 @@ import jax
 import numpy as np
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "load_config",
-           "load_sidecar", "checkpoint_exists", "alias_checkpoint"]
+           "load_sidecar", "checkpoint_exists", "alias_checkpoint",
+           "wait_for_saves"]
 
 
 _CKPTR = None
+
+# Single ordered writer thread for async saves (`block=False`). One worker
+# means every enqueued save/alias commits in call order — the on-disk
+# sequence is indistinguishable from blocking saves; only the caller's
+# wall-clock changes. Threads are non-daemon, so a clean interpreter exit
+# joins pending writes instead of tearing them (a crash mid-write falls
+# into the same `.saving`/`.replaced` recovery as a crashed blocking save).
+_WRITER = None
+_PENDING: list = []
+
+
+def _writer():
+    global _WRITER
+    if _WRITER is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _WRITER = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="ckpt-writer")
+    return _WRITER
+
+
+def _raise_failed_saves() -> None:
+    """Re-raise the first exception from a completed async save, pruning
+    finished futures. Called on every checkpoint API entry so a failed
+    background write can't be silently swallowed."""
+    global _PENDING
+    done = [f for f in _PENDING if f.done()]
+    _PENDING = [f for f in _PENDING if not f.done()]
+    for f in done:
+        f.result()  # raises if the write failed
+
+
+def wait_for_saves() -> None:
+    """Block until every `save_checkpoint(..., block=False)` and enqueued
+    alias has committed; re-raises the first background failure."""
+    global _PENDING
+    pending, _PENDING = _PENDING, []
+    for f in pending:
+        f.result()
 
 
 def _checkpointer():
@@ -128,27 +168,14 @@ def _resolve_readable(path: str) -> Optional[str]:
     return None
 
 
-def save_checkpoint(directory: str, name: str, state: Any,
-                    config: Optional[Dict] = None,
-                    metrics: Optional[Dict] = None,
-                    extra: Optional[Dict] = None) -> str:
-    """Write <directory>/<name>, crash-safe: the new state AND its sidecar
-    are fully written to temp siblings before the previous checkpoint is
-    touched, so a crash mid-save never destroys the existing
-    'latest'/'best' and never splits a state from its config.
-
-    Collective under multi-process: every process must call this. The host
-    fetch all-gathers process-sharded leaves, and the Orbax `save` is
-    ITSELF a multihost collective (AsyncCheckpointer syncs global processes
-    internally — calling it on process 0 only mismatches its barrier names,
-    found by the real 2-process smoke run, tests/test_multiprocess.py).
-    Only process 0 touches the swap/cleanup filesystem state; Orbax's own
-    primary-host logic keeps non-primary processes from writing array data.
-
-    `config` is the reference-parity UPPERCASE dict; `extra` carries
-    framework-side reload data (e.g. the encoder architecture dict)."""
-    host_state = _host_tree(state)  # collective — before any process gate
-    path = os.path.abspath(os.path.join(directory, name))
+def _commit_save(path: str, directory: str, name: str, host_state: Any,
+                 config: Optional[Dict], metrics: Optional[Dict],
+                 extra: Optional[Dict]) -> None:
+    """The writer-side filesystem section of a save: recover/cleanup,
+    Orbax write to the `.saving` temp, staged sidecar, atomic-ish swap.
+    Runs inline for blocking/multi-process saves; on the single writer
+    thread for async saves (single-process only, so the `_barrier`s are
+    no-ops there and Orbax has no collective to sync)."""
     tmp = path + ".saving"
     old = path + ".replaced"
     if _is_primary():
@@ -179,7 +206,73 @@ def save_checkpoint(directory: str, name: str, state: Any,
             shutil.rmtree(old)
             _remove(old + ".config.json")
     _barrier(f"ckpt-save:{name}")
+
+
+def save_checkpoint(directory: str, name: str, state: Any,
+                    config: Optional[Dict] = None,
+                    metrics: Optional[Dict] = None,
+                    extra: Optional[Dict] = None, *,
+                    block: bool = True) -> str:
+    """Write <directory>/<name>, crash-safe: the new state AND its sidecar
+    are fully written to temp siblings before the previous checkpoint is
+    touched, so a crash mid-save never destroys the existing
+    'latest'/'best' and never splits a state from its config.
+
+    `block=False` (single-process only) returns once the state is
+    snapshotted to host memory and hands the Orbax write + swap to a
+    single ordered writer thread, hiding the multi-GB disk write
+    (~18-30 s at XLS-R-300m scale, measured) behind the next epoch's
+    training. Saves and aliases commit strictly in call order; readers in
+    this process (`restore_checkpoint`/`checkpoint_exists`/`load_sidecar`)
+    drain the queue first, so read-after-write stays exact. A background
+    failure re-raises on the next checkpoint call or `wait_for_saves()`.
+    Under `jax.process_count() > 1` the call degrades to blocking — the
+    Orbax save and the barriers are collectives that must stay on the
+    main thread.
+
+    Collective under multi-process: every process must call this. The host
+    fetch all-gathers process-sharded leaves, and the Orbax `save` is
+    ITSELF a multihost collective (AsyncCheckpointer syncs global processes
+    internally — calling it on process 0 only mismatches its barrier names,
+    found by the real 2-process smoke run, tests/test_multiprocess.py).
+    Only process 0 touches the swap/cleanup filesystem state; Orbax's own
+    primary-host logic keeps non-primary processes from writing array data.
+
+    `config` is the reference-parity UPPERCASE dict; `extra` carries
+    framework-side reload data (e.g. the encoder architecture dict)."""
+    _raise_failed_saves()
+    host_state = _host_tree(state)  # collective — before any process gate
+    path = os.path.abspath(os.path.join(directory, name))
+    if block or jax.process_count() > 1:
+        wait_for_saves()  # total order with any in-flight async writes
+        _commit_save(path, directory, name, host_state,
+                     config, metrics, extra)
+    else:
+        # Deep-copy the snapshot: on the CPU backend `np.asarray` of a
+        # jax.Array can alias the XLA buffer, and the trainers donate
+        # state buffers into the next step — the writer thread must never
+        # read memory the device is free to reuse.
+        snap = jax.tree_util.tree_map(lambda x: np.array(x, copy=True),
+                                      host_state)
+        _PENDING.append(_writer().submit(
+            _commit_save, path, directory, name, snap,
+            config, metrics, extra))
     return path
+
+
+def _commit_alias(directory: str, path: str, target: str) -> None:
+    for suffix in ("", ".config.json"):
+        dst = path + suffix
+        src = target + suffix  # relative link inside the directory
+        _remove(dst)
+        try:
+            os.symlink(src, dst)
+        except OSError:
+            full_src = os.path.join(directory, src)
+            if os.path.isdir(full_src):
+                shutil.copytree(full_src, dst)
+            elif os.path.exists(full_src):
+                shutil.copyfile(full_src, dst)
 
 
 def alias_checkpoint(directory: str, name: str, target: str) -> str:
@@ -187,22 +280,18 @@ def alias_checkpoint(directory: str, name: str, target: str) -> str:
 
     Used by dev-less training runs where no best-metric exists: 'best'
     tracks 'latest' without writing the state twice per epoch. Falls back
-    to a real copy if the filesystem refuses symlinks. Process-0 only."""
+    to a real copy if the filesystem refuses symlinks. Process-0 only.
+    If async saves are in flight, the alias is enqueued behind them on the
+    writer thread so it can only ever point at a committed target."""
+    _raise_failed_saves()
     path = os.path.abspath(os.path.join(directory, name))
-    if _is_primary():
-        for suffix in ("", ".config.json"):
-            dst = path + suffix
-            src = target + suffix  # relative link inside the directory
-            _remove(dst)
-            try:
-                os.symlink(src, dst)
-            except OSError:
-                full_src = os.path.join(directory, src)
-                if os.path.isdir(full_src):
-                    shutil.copytree(full_src, dst)
-                elif os.path.exists(full_src):
-                    shutil.copyfile(full_src, dst)
-    _barrier(f"ckpt-alias:{name}")
+    if jax.process_count() > 1 or not _PENDING:
+        if _is_primary():
+            _commit_alias(directory, path, target)
+        _barrier(f"ckpt-alias:{name}")
+    else:
+        _PENDING.append(_writer().submit(_commit_alias, directory,
+                                         path, target))
     return path
 
 
@@ -229,6 +318,7 @@ def restore_checkpoint(directory: str, name: str,
     `jax.process_count() > 1` EVERY process must call this — which the
     trainers do; a lone polling reader must run as its own single-process
     job (e.g. eval/serving.py)."""
+    wait_for_saves()  # same-process read-after-async-write correctness
     path = os.path.abspath(os.path.join(directory, name))
     resolved = _resolve_readable(path)
     if resolved is None:
@@ -239,6 +329,7 @@ def restore_checkpoint(directory: str, name: str,
 
 
 def load_sidecar(directory: str, name: str) -> Dict:
+    wait_for_saves()
     path = os.path.abspath(os.path.join(directory, name))
     resolved = _resolve_readable(path) or path
     sidecar = _read_sidecar(resolved, path)
@@ -252,5 +343,6 @@ def load_config(directory: str, name: str) -> Dict:
 
 
 def checkpoint_exists(directory: str, name: str) -> bool:
+    wait_for_saves()
     path = os.path.abspath(os.path.join(directory, name))
     return _resolve_readable(path) is not None

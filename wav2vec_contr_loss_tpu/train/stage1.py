@@ -514,8 +514,12 @@ class Stage1Trainer:
                 metrics = {"epoch": epoch, "train_loss": train_loss,
                            "dev_loss": dev_loss}
                 extra = self._sidecar_extra()
+                # block=False: snapshot now, hide the multi-GB Orbax write
+                # behind the next epoch (ordered writer thread; degrades to
+                # blocking under multi-process — train/checkpoint.py)
                 ckpt.save_checkpoint(save_dir, "latest", state,
-                                     self.cfg.ckpt_config(), metrics, extra)
+                                     self.cfg.ckpt_config(), metrics, extra,
+                                     block=False)
                 if dev_pipe is None:
                     # no best-metric exists: 'best' is an alias of 'latest'
                     # (so name='best' reloads resolve) without rewriting the
@@ -526,9 +530,12 @@ class Stage1Trainer:
                     # False) — a diverged epoch can't capture 'best'
                     best_dev = dev_loss
                     ckpt.save_checkpoint(save_dir, "best", state,
-                                         self.cfg.ckpt_config(), metrics, extra)
+                                         self.cfg.ckpt_config(), metrics,
+                                         extra, block=False)
                     log_fn(f"[epoch {epoch:03d}] ✓ new best dev_loss={dev_loss:.4f}")
 
+        if save_dir is not None:
+            ckpt.wait_for_saves()
         return state, history
 
     def fit_from_features(
@@ -602,13 +609,17 @@ class Stage1Trainer:
                            "dev_loss": dev_loss}
                 extra = self._sidecar_extra()
                 ckpt.save_checkpoint(save_dir, "latest", state,
-                                     cfg.ckpt_config(), metrics, extra)
+                                     cfg.ckpt_config(), metrics, extra,
+                                     block=False)
                 if dev_sampler is None:
                     ckpt.alias_checkpoint(save_dir, "best", "latest")
                 elif dev_loss < best_dev:  # NaN never updates best
                     best_dev = dev_loss
                     ckpt.save_checkpoint(save_dir, "best", state,
-                                         cfg.ckpt_config(), metrics, extra)
+                                         cfg.ckpt_config(), metrics, extra,
+                                         block=False)
+        if save_dir is not None:
+            ckpt.wait_for_saves()
         return state, history
 
     # ------------------------------------------------------- extraction
