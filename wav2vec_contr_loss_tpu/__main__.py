@@ -34,6 +34,7 @@ COMMANDS = {
     "convert_hf_checkpoint": ("convert_hf_checkpoint", "offline HF wav2vec2 checkpoint -> Orbax params"),
     "verify_parity": ("verify_parity", "acceptance harness vs the reference's committed score files"),
     "bench_components": ("bench_components", "on-chip component benchmarks (serving/extract/...)"),
+    "cache_waveforms": ("cache_waveforms", "prebuild the decode-once waveform cache for a protocol"),
 }
 
 

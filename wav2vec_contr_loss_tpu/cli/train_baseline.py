@@ -42,6 +42,14 @@ def main(argv=None) -> None:
                    choices=["float32", "int16"],
                    help="waveform H2D wire format (int16 halves input "
                         "bandwidth; ops/wire.py)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <save_dir>/baseline_latest (incl. "
+                        "mid-epoch preemption saves)")
+    p.add_argument("--cache_waveforms", type=str, default=None,
+                   help="decode-once waveform cache directory "
+                        "(data/cache.py)")
+    p.add_argument("--cache_dtype", type=str, default="int16",
+                   choices=["int16", "float32"])
     args = p.parse_args(argv)
 
     from ..utils.distributed import init_from_args
@@ -71,12 +79,42 @@ def main(argv=None) -> None:
                            cfg.num_samples, seconds=cfg.max_duration_seconds)
     dev_ds = asv_dataset(args.dev_root, args.dev_protocol, cfg.num_samples,
                          seconds=cfg.max_duration_seconds)
+    if args.cache_waveforms:
+        import os as _os
+
+        from ..data.cache import attach_cache
+
+        attach_cache(train_ds, _os.path.join(args.cache_waveforms, "train"),
+                     dtype=args.cache_dtype, num_workers=args.num_workers)
+        attach_cache(dev_ds, _os.path.join(args.cache_waveforms, "dev"),
+                     dtype=args.cache_dtype, num_workers=args.num_workers)
     pos_weight = pos_weight_from_labels(train_ds.labels)
     print(f"pos_weight (neg/pos) = {pos_weight:.4f}")
 
     trainer = BaselineTrainer(cfg, enc_config=enc_config,
                               enc_params=enc_params, pos_weight=pos_weight)
-    state = trainer.init_state()
+    start_epoch = 1
+    skip_steps = 0
+    best_eer = float("inf")
+    epochs_no_improve = 0
+    if args.resume:
+        from ..train.checkpoint import (checkpoint_exists, load_sidecar,
+                                        resume_cursor)
+
+        if checkpoint_exists(save_dir, "baseline_latest"):
+            state = trainer.restore(save_dir, "baseline_latest")
+            m = load_sidecar(save_dir, "baseline_latest")["metrics"]
+            best_eer = float(m.get("best_eer", float("inf")))
+            epochs_no_improve = int(m.get("epochs_no_improve", 0))
+            start_epoch, skip_steps = resume_cursor(m)
+            print(f"[RESUME] continuing from epoch {start_epoch}"
+                  + (f" batch {skip_steps}" if skip_steps else ""))
+        else:
+            print("[RESUME] no 'baseline_latest' checkpoint found; "
+                  "starting fresh")
+            state = trainer.init_state()
+    else:
+        state = trainer.init_state()
 
     rawboost = (
         RawBoostParams(sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob)
@@ -89,7 +127,18 @@ def main(argv=None) -> None:
         rawboost=rawboost, rawboost_prob=cfg.rawboost_prob,
     )
     dev_pipe = BatchPipeline(dev_ds, cfg.batch_size, num_workers=args.num_workers)
-    trainer.fit(state, train_pipe, dev_pipe, save_dir=save_dir)
+    from ..utils.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        _, history = trainer.fit(
+            state, train_pipe, dev_pipe, save_dir=save_dir,
+            preemption=guard, start_epoch=start_epoch,
+            skip_steps=skip_steps, best_eer=best_eer,
+            epochs_no_improve=epochs_no_improve)
+    if history.get("preempted"):
+        print(f"==> Baseline training PREEMPTED; state saved in {save_dir} "
+              f"(rerun with --resume)")
+        return
     print(f"==> Baseline training complete. Checkpoints in {save_dir}")
 
 

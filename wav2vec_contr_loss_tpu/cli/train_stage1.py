@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="continue from the 'latest' checkpoint in save_dir "
                         "(full train state incl. optimizer + PRNG)")
+    p.add_argument("--cache_waveforms", type=str, default=None,
+                   help="decode-once waveform cache directory: first run "
+                        "decodes the corpus into a memmap, later epochs/"
+                        "runs read rows instead of decoding (data/cache.py)")
+    p.add_argument("--cache_dtype", type=str, default="int16",
+                   choices=["int16", "float32"],
+                   help="cache storage dtype (int16: exact for PCM "
+                        "sources, half the disk; float32: bit-exact)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans — the functional-purity "
                         "equivalent of a sanitizer (SURVEY.md §5)")
@@ -180,14 +188,19 @@ def main(argv=None) -> None:
         loss_mode=args.loss_mode, mesh=mesh,
     )
     start_epoch = 1
+    skip_steps = 0
+    best_dev = float("inf")
     if args.resume:
-        from ..train.checkpoint import checkpoint_exists, load_sidecar
+        from ..train.checkpoint import (checkpoint_exists, load_sidecar,
+                                        resume_cursor)
 
         if checkpoint_exists(save_dir, "latest"):
             state = trainer.restore(save_dir, "latest")
-            start_epoch = int(load_sidecar(save_dir, "latest")
-                              ["metrics"]["epoch"]) + 1
-            print(f"[RESUME] continuing from epoch {start_epoch}")
+            m = load_sidecar(save_dir, "latest")["metrics"]
+            best_dev = float(m.get("best_dev", float("inf")))
+            start_epoch, skip_steps = resume_cursor(m)
+            print(f"[RESUME] continuing from epoch {start_epoch}"
+                  + (f" batch {skip_steps}" if skip_steps else ""))
         else:
             print("[RESUME] no 'latest' checkpoint found; starting fresh")
             state = trainer.init_state()
@@ -200,6 +213,13 @@ def main(argv=None) -> None:
     )
     train_ds = asv_dataset(args.train_root, args.train_protocol,
                            cfg.num_samples, seconds=cfg.max_duration_seconds)
+    if args.cache_waveforms:
+        import os as _os
+
+        from ..data.cache import attach_cache
+
+        attach_cache(train_ds, _os.path.join(args.cache_waveforms, "train"),
+                     dtype=args.cache_dtype, num_workers=args.num_workers)
     train_pipe = BatchPipeline(
         train_ds, cfg.batch_size, seed=cfg.seed, num_workers=args.num_workers,
         rawboost=rawboost, rawboost_prob=cfg.rawboost_prob,
@@ -208,12 +228,27 @@ def main(argv=None) -> None:
     if args.dev_protocol:
         dev_ds = asv_dataset(args.dev_root, args.dev_protocol, cfg.num_samples,
                              seconds=cfg.max_duration_seconds)
+        if args.cache_waveforms:
+            attach_cache(dev_ds, _os.path.join(args.cache_waveforms, "dev"),
+                         dtype=args.cache_dtype,
+                         num_workers=args.num_workers)
         # dev sampler seeded seed+1 like the reference (train_stage1.py)
         dev_pipe = BatchPipeline(dev_ds, cfg.batch_size, seed=cfg.seed + 1,
                                  num_workers=args.num_workers)
 
-    trainer.fit(state, train_pipe, dev_pipe, save_dir=save_dir,
-                start_epoch=start_epoch)
+    from ..utils.preemption import PreemptionGuard
+
+    # SIGTERM (scheduler/TPU-pod preemption) triggers a graceful mid-epoch
+    # save instead of losing the run since the last epoch boundary
+    with PreemptionGuard() as guard:
+        _, history = trainer.fit(state, train_pipe, dev_pipe,
+                                 save_dir=save_dir, start_epoch=start_epoch,
+                                 skip_steps=skip_steps, best_dev=best_dev,
+                                 preemption=guard)
+    if history.get("preempted"):
+        print(f"==> Stage-1 training PREEMPTED; state saved in {save_dir} "
+              f"(rerun with --resume)")
+        return
     print(f"==> Stage-1 training complete. Checkpoints in {save_dir}")
 
 

@@ -1,4 +1,5 @@
 from .audio import AudioConfig, AudioLoader, load_waveform, pad_or_trim  # noqa: F401
+from .cache import attach_cache, build_cache  # noqa: F401
 from .pipeline import Batch, BatchPipeline, prefetch_to_device  # noqa: F401
 from .protocols import (  # noqa: F401
     SpoofDataset,

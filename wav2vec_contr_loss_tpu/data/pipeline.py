@@ -124,12 +124,18 @@ class BatchPipeline:
         return Batch(waves, labels, multi, valid,
                      tuple(speakers), tuple(sources), tuple(names))
 
-    def train_epoch(self, epoch: int) -> Iterator[Batch]:
+    def train_epoch(self, epoch: int, skip: int = 0) -> Iterator[Batch]:
         """Balanced batches for one epoch; host RawBoost (if configured) is
-        seeded by (seed, epoch) so runs are reproducible."""
-        rng = np.random.default_rng(np.random.PCG64((self.seed << 16) ^ epoch))
+        seeded per (seed, epoch, batch) so runs are reproducible AND a
+        mid-epoch resume (`skip` > 0, the preemption path) replays the
+        remaining batches with the exact augmentation draws an
+        uninterrupted epoch would have used — skipped batches are never
+        decoded or assembled."""
         with ThreadPoolExecutor(self.num_workers) as pool:
-            for idx in self.sampler.epoch_batches(epoch):
+            for i, idx in enumerate(self.sampler.epoch_batches(epoch)):
+                if i < skip:
+                    continue
+                rng = np.random.default_rng([self.seed, epoch, i])
                 yield self._assemble(idx, pool, rng)
 
     def sequential(self, indices: Optional[np.ndarray] = None) -> Iterator[Batch]:

@@ -279,16 +279,44 @@ class BaselineTrainer:
         dev_pipe: BatchPipeline,
         save_dir: Optional[str] = None,
         log_fn=print,
+        preemption=None,
+        start_epoch: int = 1,
+        skip_steps: int = 0,
+        best_eer: float = float("inf"),
+        epochs_no_improve: int = 0,
     ) -> Tuple[BaselineState, Dict]:
+        """`preemption`/`skip_steps`/`best_eer`/`epochs_no_improve` mirror
+        Stage1Trainer.fit: graceful mid-epoch save on SIGTERM, exact
+        replay-resume past the saved batch cursor, and best/patience
+        tracking carried across restarts via the 'baseline_latest'
+        sidecar (the reference baseline has no resume at all,
+        baseline_train.py:180-218)."""
         cfg = self.cfg
-        best_eer = float("inf")
-        epochs_no_improve = 0
         history = {"train_loss": [], "dev_eer": [], "dev_acc": []}
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             losses = []
-            for batch in self._put(train_pipe.train_epoch(epoch)):
+            skip = skip_steps if epoch == start_epoch else 0
+            n_steps = skip
+            preempted = False
+            for batch in self._put(train_pipe.train_epoch(epoch, skip=skip)):
                 state, metrics = self.train_step(state, batch)
                 losses.append(metrics["loss"])
+                n_steps += 1
+                if preemption is not None and preemption.requested(n_steps):
+                    preempted = True
+                    break
+            if preempted and save_dir is not None:
+                ckpt.wait_for_saves()
+                ckpt.save_checkpoint(
+                    save_dir, "baseline_latest", state, cfg.ckpt_config(),
+                    {"epoch": epoch, "batches_done": n_steps,
+                     "preempted": True, "best_eer": best_eer,
+                     "epochs_no_improve": epochs_no_improve},
+                    self._sidecar_extra())
+                log_fn(f"[PREEMPTED] saved mid-epoch state at epoch {epoch} "
+                       f"batch {n_steps}; resume with --resume")
+                history["preempted"] = True
+                return state, history
             train_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0
             dev_eer, thresh, dev_acc = self.evaluate_dev(state, dev_pipe)
             history["train_loss"].append(train_loss)
@@ -312,10 +340,19 @@ class BaselineTrainer:
                            f"{best_eer * 100:.2f}%")
             else:
                 epochs_no_improve += 1
-                if epochs_no_improve >= cfg.patience:
-                    log_fn(f"[EARLY STOP] patience {cfg.patience} reached "
-                           f"(best EER={best_eer * 100:.2f}%)")
-                    break
+            if save_dir is not None:
+                # epoch-cadence resume point (best/patience carried in the
+                # sidecar); 'baseline_best' semantics are untouched
+                ckpt.save_checkpoint(
+                    save_dir, "baseline_latest", state, cfg.ckpt_config(),
+                    {"epoch": epoch, "dev_eer": dev_eer, "dev_acc": dev_acc,
+                     "best_eer": best_eer,
+                     "epochs_no_improve": epochs_no_improve},
+                    self._sidecar_extra(), block=False)
+            if epochs_no_improve >= cfg.patience:
+                log_fn(f"[EARLY STOP] patience {cfg.patience} reached "
+                       f"(best EER={best_eer * 100:.2f}%)")
+                break
         if save_dir is not None:
             ckpt.wait_for_saves()
         return state, history

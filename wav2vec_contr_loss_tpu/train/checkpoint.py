@@ -32,7 +32,20 @@ import numpy as np
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "load_config",
            "load_sidecar", "checkpoint_exists", "alias_checkpoint",
-           "wait_for_saves"]
+           "wait_for_saves", "resume_cursor"]
+
+
+def resume_cursor(metrics: Dict) -> "tuple[int, int]":
+    """-> (start_epoch, skip_steps) from a 'latest' sidecar's metrics.
+
+    A normal epoch-end save resumes at the NEXT epoch; a graceful
+    preemption save (utils/preemption.py) carries a `batches_done` cursor
+    and resumes the SAME epoch past it — the pipeline replays the
+    sampler/augmentation stream deterministically (data/pipeline.py
+    train_epoch(skip=...))."""
+    if metrics.get("preempted"):
+        return int(metrics["epoch"]), int(metrics["batches_done"])
+    return int(metrics["epoch"]) + 1, 0
 
 
 _CKPTR = None

@@ -452,15 +452,26 @@ class Stage1Trainer:
         start_epoch: int = 1,
         log_fn=print,
         metrics_logger=None,
+        preemption=None,
+        skip_steps: int = 0,
+        best_dev: float = float("inf"),
     ) -> Tuple[Stage1State, Dict]:
         """Epoch loop with best-by-dev-loss checkpointing
         (reference: train_stage1.py:99-133). `metrics_logger` optionally
-        streams scalars to JSONL/TensorBoard (utils/logging.py)."""
+        streams scalars to JSONL/TensorBoard (utils/logging.py).
+
+        `preemption` (utils/preemption.PreemptionGuard) is polled after
+        every step; on a graceful-stop request the full state is saved to
+        'latest' with a `batches_done` cursor and fit returns early.
+        `skip_steps` resumes the FIRST epoch mid-way (replaying the
+        sampler/augmentation stream past the cursor), and `best_dev`
+        carries the best dev loss across resumes so a post-resume epoch
+        can't spuriously capture 'best'. The resumed trajectory is
+        bit-identical to an uninterrupted run (tests/test_preemption.py)."""
         cfg = self.cfg
         if dev_pipe is not None and dev_pipe.rawboost is not None:
             # the reference never augments at eval (stage1_utils.py:138-153)
             raise ValueError("dev pipeline must not apply RawBoost")
-        best_dev = float("inf")
         history = {"train_loss": [], "dev_loss": [], "alpha": [],
                    "clips_per_sec_per_chip": []}
 
@@ -473,11 +484,30 @@ class Stage1Trainer:
             # the device_get of the collected losses is the only barrier
             t_epoch = time.perf_counter()
             losses = []
-            n_steps = 0
-            for batch in self._device_batches(train_pipe.train_epoch(epoch)):
+            skip = skip_steps if epoch == start_epoch else 0
+            n_steps = skip  # absolute batch cursor within the epoch
+            preempted = False
+            for batch in self._device_batches(
+                    train_pipe.train_epoch(epoch, skip=skip)):
                 state, metrics = self.train_step(state, batch, alpha_dev)
                 losses.append(metrics["loss"])
                 n_steps += 1
+                if preemption is not None and preemption.requested(n_steps):
+                    preempted = True
+                    break
+            if preempted and save_dir is not None:
+                # blocking save (we are about to exit): full state + the
+                # batch cursor; resume replays the epoch from batch n_steps
+                ckpt.wait_for_saves()
+                ckpt.save_checkpoint(
+                    save_dir, "latest", state, self.cfg.ckpt_config(),
+                    {"epoch": epoch, "batches_done": n_steps,
+                     "preempted": True, "best_dev": best_dev},
+                    self._sidecar_extra())
+                log_fn(f"[PREEMPTED] saved mid-epoch state at epoch {epoch} "
+                       f"batch {n_steps}; resume with --resume")
+                history["preempted"] = True
+                return state, history
             losses = jax.device_get(losses) if losses else []
             epoch_s = time.perf_counter() - t_epoch
             train_loss = float(np.mean(losses)) if len(losses) else 0.0
@@ -492,8 +522,9 @@ class Stage1Trainer:
                     if dev_losses else float("nan")
                 )
 
-            cps = (n_steps * cfg.batch_size / epoch_s / self.n_chips
-                   if n_steps and epoch_s > 0 else 0.0)
+            n_run = n_steps - skip  # steps actually executed this session
+            cps = (n_run * cfg.batch_size / epoch_s / self.n_chips
+                   if n_run and epoch_s > 0 else 0.0)
             history["train_loss"].append(train_loss)
             history["dev_loss"].append(dev_loss)
             history["alpha"].append(alpha)
@@ -510,9 +541,17 @@ class Stage1Trainer:
                     "alpha": alpha, "clips_per_sec_per_chip": cps,
                 })
 
+            # NOTE: a NaN dev_loss never updates best (NaN < x is False)
+            # — a diverged epoch can't capture 'best'
+            is_new_best = dev_loss < best_dev
+            if is_new_best:
+                best_dev = dev_loss
             if save_dir is not None:
+                # best_dev rides the sidecar so a plain epoch resume keeps
+                # the best-tracking across restarts (a post-resume epoch
+                # can't spuriously re-capture 'best')
                 metrics = {"epoch": epoch, "train_loss": train_loss,
-                           "dev_loss": dev_loss}
+                           "dev_loss": dev_loss, "best_dev": best_dev}
                 extra = self._sidecar_extra()
                 # block=False: snapshot now, hide the multi-GB Orbax write
                 # behind the next epoch (ordered writer thread; degrades to
@@ -525,10 +564,7 @@ class Stage1Trainer:
                     # (so name='best' reloads resolve) without rewriting the
                     # full state twice per epoch (VERDICT r1 weak #4)
                     ckpt.alias_checkpoint(save_dir, "best", "latest")
-                elif dev_loss < best_dev:
-                    # NOTE: a NaN dev_loss never updates best (NaN < x is
-                    # False) — a diverged epoch can't capture 'best'
-                    best_dev = dev_loss
+                elif is_new_best:
                     ckpt.save_checkpoint(save_dir, "best", state,
                                          self.cfg.ckpt_config(), metrics,
                                          extra, block=False)

@@ -1,0 +1,96 @@
+"""Cooperative preemption handling for long training runs.
+
+TPU pods (and most schedulers) deliver SIGTERM with a short grace window
+before killing the job. The reference has no story for this: a preempted
+run loses everything since the last epoch-end `torch.save` and restarts
+from scratch (reference: train_stage1.py:99-133 — save only at epoch
+end, no resume at all). Here a `PreemptionGuard` turns the signal into a
+cooperative flag that the trainers poll at step boundaries; on request
+they save the FULL train state (params + optimizer + PRNG + batch
+cursor) and return, and `--resume` continues from the exact step — the
+resumed trajectory is bit-identical to an uninterrupted run (tested:
+tests/test_preemption.py).
+
+Multi-process: the signal may land on one host only, so `requested()`
+syncs the flag across processes (logical OR via process_allgather) every
+`sync_every` steps. Every process must therefore poll at the same step
+cadence — which the trainers do, since their step counts agree.
+"""
+from __future__ import annotations
+
+import signal
+import threading
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+__all__ = ["PreemptionGuard"]
+
+
+class PreemptionGuard:
+    """Install signal handlers that set a flag instead of killing the
+    process; trainers poll `requested(step)` at step boundaries.
+
+    Use as a context manager (handlers are restored on exit) or call
+    `install()` / `uninstall()` explicitly. `mark()` sets the flag
+    programmatically (used by tests and by wrappers that learn about
+    preemption through other channels, e.g. a scheduler API).
+    """
+
+    def __init__(self, signals: Sequence[int] = (signal.SIGTERM,),
+                 sync_every: int = 16):
+        self.signals = tuple(signals)
+        self.sync_every = max(1, int(sync_every))
+        self._flag = threading.Event()
+        self._prev: dict = {}
+        self._agreed = False  # last cross-process agreed value
+
+    # ------------------------------------------------------------ signals
+    def install(self) -> "PreemptionGuard":
+        for sig in self.signals:
+            self._prev[sig] = signal.signal(sig, self._on_signal)
+        return self
+
+    def uninstall(self) -> None:
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        self._prev.clear()
+
+    def __enter__(self) -> "PreemptionGuard":
+        return self.install()
+
+    def __exit__(self, *exc) -> None:
+        self.uninstall()
+
+    def _on_signal(self, signum, frame) -> None:
+        self._flag.set()
+
+    def mark(self) -> None:
+        """Request a graceful stop programmatically."""
+        self._flag.set()
+
+    # ------------------------------------------------------------ polling
+    def requested(self, step: Optional[int] = None) -> bool:
+        """True once a stop has been requested (and, multi-process, agreed).
+
+        Single-process: the local flag, checked every call (an Event read
+        — nanoseconds, safe to call per step).
+
+        Multi-process: processes must act in lockstep (the mid-epoch save
+        is a collective), so the local flag only takes effect after an OR
+        across processes. The sync is a host collective, run every
+        `sync_every` calls when `step` is given (every call when not).
+        """
+        if jax.process_count() == 1:
+            return self._flag.is_set()
+        if self._agreed:
+            return True
+        if step is not None and step % self.sync_every != 0:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(self._flag.is_set()))
+        self._agreed = bool(np.any(flags))
+        return self._agreed
