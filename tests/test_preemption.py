@@ -235,3 +235,72 @@ def test_baseline_mid_epoch_resume_bit_identical(corpus, tmp_path):
         epochs_no_improve=int(m.get("epochs_no_improve", 0)))
 
     assert params_equal(state_a.params, state_c.params)
+
+
+def test_fit_without_save_dir_still_stops(corpus):
+    """A preemption request must end fit even when nothing can be saved —
+    the latched flag may not leak into 'one step + full dev eval per
+    remaining epoch' (review regression)."""
+    ds = make_ds(corpus)
+    trainer = Stage1Trainer(CFG, enc_config=TINY_ENC)
+    state, hist = trainer.fit(trainer.init_state(), make_pipe(ds),
+                              dev_pipe=make_pipe(ds, seed=8),
+                              preemption=StepGuard(2))
+    assert hist.get("preempted") is True
+    assert int(state.step) == 2  # stopped at the request, not epochs later
+    assert hist["dev_loss"] == []  # no post-preemption dev sweeps
+
+
+def test_baseline_resume_after_early_stop_is_noop(corpus):
+    ds = make_ds(corpus)
+    bcfg = BaselineConfig(
+        input_dim=32, hidden_dim=16, max_duration_seconds=1, epochs=5,
+        batch_size=8, seed=7, use_rawboost=False, finetune_encoder=False,
+        compute_dtype="float32", patience=2,
+    )
+    trainer = BaselineTrainer(bcfg, enc_config=TINY_ENC)
+    state = trainer.init_state()
+    tr = BatchPipeline(ds, 8, seed=7, num_workers=2)
+    dv = BatchPipeline(ds, 8, seed=9, num_workers=2)
+    logs = []
+    state, hist = trainer.fit(state, tr, dv, epochs_no_improve=2,
+                              best_eer=0.1, log_fn=logs.append)
+    assert hist["train_loss"] == []  # not one extra epoch
+    assert any("already reached" in m for m in logs)
+
+
+def test_cli_preemption_exits_75_and_resumes(corpus, tmp_path):
+    """CLI contract: SIGTERM -> graceful save -> exit code 75
+    (EX_TEMPFAIL), so run_pipeline/run_sweep/schedulers never continue a
+    chain on a half-trained model; a --resume rerun completes with 0."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    args = [sys.executable, "-m", "wav2vec_contr_loss_tpu.cli.train_stage1",
+            "--model_name", "test/tiny-wav2vec2", "--encoder_init", "random",
+            "--save_dir", str(tmp_path / "ckpt"),
+            "--train_root", str(corpus),
+            "--train_protocol", str(corpus / "protocol.txt"),
+            "--epochs", "20", "--batch_size", "8",
+            "--max_duration_seconds", "1", "--input_dim", "32",
+            "--hidden_dim", "16", "--num_workers", "2"]
+    p = subprocess.Popen(args, env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+    out, killed = [], False
+    for line in p.stdout:
+        out.append(line)
+        if not killed and line.startswith("[epoch 0"):
+            p.send_signal(signal.SIGTERM)
+            killed = True
+    rc = p.wait(timeout=300)
+    out = "".join(out)
+    assert killed, out
+    assert rc == 75, (rc, out[-2000:])
+    assert "[PREEMPTED]" in out
+
+    r = subprocess.run(args + ["--resume"], env=env, capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "[RESUME] continuing from epoch" in r.stdout
+    assert "[epoch 020]" in r.stdout and "training complete" in r.stdout

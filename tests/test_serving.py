@@ -184,3 +184,47 @@ def test_bench_extract_smoke():
     qout = bench_extract(batch=4, seconds=1, n_batches=3, model="tiny",
                          quantize="w8a8")
     assert qout["extract_clips_per_sec"] > 0
+
+
+def test_sp_trained_checkpoint_serves_and_quantizes(tmp_path):
+    """Serving a checkpoint trained with sequence_parallel=True must work
+    in both the plain and quantized paths: the scorer rebuilds the
+    encoder without a mesh, so training-time placement flags (sp, pp)
+    must be dropped at bind time (regression: the quantize/pp rebuilds
+    kept sequence_parallel=True and hit the encoder's mesh guard)."""
+    from wav2vec_contr_loss_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(4)
+    lines = []
+    for i in range(16):
+        name = f"c{i:03d}.wav"
+        bona = i % 2 == 0
+        x = (0.4 * np.sin(2 * np.pi * 330 * np.arange(SR) / SR) if bona
+             else 0.2 * rng.standard_normal(SR))
+        write_wav(tmp_path / name, x.astype(np.float32), SR)
+        lines.append(f"d/{name} {'-' if bona else 'A01'} "
+                     f"{'bonafide' if bona else 'spoof'} - S{i % 3}")
+    (tmp_path / "p.txt").write_text("\n".join(lines) + "\n")
+    ds = parse_asvspoof2019(str(tmp_path / "p.txt"), str(tmp_path),
+                            audio=AudioConfig(SR, 1))
+
+    cfg = Stage1Config(epochs=1, batch_size=8, input_dim=32, hidden_dim=16,
+                       max_duration_seconds=1, use_rawboost=False,
+                       finetune_encoder=False, compute_dtype="float32",
+                       seed=0, sequence_parallel=True)
+    trainer = Stage1Trainer(cfg, enc_config=TINY_ENC,
+                            mesh=make_mesh(n_model=2))
+    state = trainer.init_state()
+    pipe = BatchPipeline(ds, 8, seed=0, num_workers=2)
+    state, _ = trainer.fit(state, pipe, save_dir=str(tmp_path / "s1"))
+    embs, labels = trainer.embed_dataset(state, pipe)
+    cfg2 = Stage2Config(epochs=5, batch_size=16, lr=5e-2, seed=0)
+    train_stage2(cfg2, embs, labels, embs, labels,
+                 save_dir=str(tmp_path / "s2"))
+
+    for quant in ("none", "w8"):
+        scorer = SpoofScorer.from_checkpoints(str(tmp_path / "s1"),
+                                              str(tmp_path / "s2"),
+                                              quantize=quant)
+        scores, _ = scorer.score_dataset(pipe)
+        assert np.all(np.isfinite(scores)), quant

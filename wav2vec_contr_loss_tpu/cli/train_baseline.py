@@ -138,7 +138,7 @@ def main(argv=None) -> None:
     if history.get("preempted"):
         print(f"==> Baseline training PREEMPTED; state saved in {save_dir} "
               f"(rerun with --resume)")
-        return
+        raise SystemExit(75)  # EX_TEMPFAIL — callers must not continue
     print(f"==> Baseline training complete. Checkpoints in {save_dir}")
 
 

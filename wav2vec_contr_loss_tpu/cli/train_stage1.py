@@ -248,7 +248,11 @@ def main(argv=None) -> None:
     if history.get("preempted"):
         print(f"==> Stage-1 training PREEMPTED; state saved in {save_dir} "
               f"(rerun with --resume)")
-        return
+        # EX_TEMPFAIL: distinct from success so callers (run_pipeline /
+        # run_sweep / schedulers) never continue the chain — extraction,
+        # stage-2 and scoring on a half-trained model — as if training
+        # had finished
+        raise SystemExit(75)
     print(f"==> Stage-1 training complete. Checkpoints in {save_dir}")
 
 

@@ -122,14 +122,26 @@ def attach_cache(dataset, cache_dir: str, dtype: str = "int16",
                  num_workers: int = 8, log=print) -> bool:
     """Point `dataset.loader` at the cache, building it first if absent
     or stale (corpus/config fingerprint mismatch). Returns True if a
-    build ran. Reusable across processes: multi-host launches should
-    build on one host (or share the dir) — the build itself is
-    single-writer."""
+    build ran (on this process).
+
+    Multi-process safe on a shared directory: only process 0 builds
+    (concurrent builders would truncate each other's memmap and race the
+    final renames), and every process barriers before opening, so
+    non-primaries never observe a half-built cache. Must therefore be
+    called by ALL processes (which the train CLIs do)."""
+    import jax
+
     built = False
     if not _valid(dataset, cache_dir, dtype):
-        build_cache(dataset, cache_dir, dtype=dtype,
-                    num_workers=num_workers, log=log)
+        if jax.process_index() == 0:
+            build_cache(dataset, cache_dir, dtype=dtype,
+                        num_workers=num_workers, log=log)
         built = True
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(
+            f"wavecache:{os.path.basename(cache_dir)}")
     mm = np.load(os.path.join(cache_dir, _DATA), mmap_mode="r")
     rows = {str(u.path): i for i, u in enumerate(dataset.utterances)}
     dataset.loader = CachedLoader(mm, rows, dataset.loader)

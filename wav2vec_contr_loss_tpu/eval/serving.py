@@ -134,7 +134,8 @@ class SpoofScorer:
             # chips it has — same params, plain scanned stack
             from ..models.wav2vec2 import Wav2Vec2Encoder
 
-            enc = Wav2Vec2Encoder(trainer.enc_config.with_(pipeline_stages=1))
+            enc = Wav2Vec2Encoder(trainer.enc_config.with_(
+                pipeline_stages=1, sequence_parallel=False))
         comp = trainer.compression
         raw_enc_params = (state.params.get("encoder")
                           or state.frozen.get("encoder"))
@@ -147,7 +148,7 @@ class SpoofScorer:
             from ..ops.quant import quantize_encoder_params
 
             enc = Wav2Vec2Encoder(trainer.enc_config.with_(
-                quant=quantize, pipeline_stages=1))
+                quant=quantize, pipeline_stages=1, sequence_parallel=False))
             raw_enc_params = quantize_encoder_params(raw_enc_params)
         # Params MUST be jit ARGUMENTS, not closure captures: a closed-over
         # array is embedded into the lowered module as a literal constant,

@@ -293,6 +293,12 @@ class BaselineTrainer:
         baseline_train.py:180-218)."""
         cfg = self.cfg
         history = {"train_loss": [], "dev_eer": [], "dev_acc": []}
+        if epochs_no_improve >= cfg.patience:
+            # resuming a run that already early-stopped: a no-op, not a
+            # surprise extra epoch
+            log_fn(f"[EARLY STOP] patience {cfg.patience} already reached "
+                   f"at resume (best EER={best_eer * 100:.2f}%)")
+            return state, history
         for epoch in range(start_epoch, cfg.epochs + 1):
             losses = []
             skip = skip_steps if epoch == start_epoch else 0
@@ -305,16 +311,18 @@ class BaselineTrainer:
                 if preemption is not None and preemption.requested(n_steps):
                     preempted = True
                     break
-            if preempted and save_dir is not None:
-                ckpt.wait_for_saves()
-                ckpt.save_checkpoint(
-                    save_dir, "baseline_latest", state, cfg.ckpt_config(),
-                    {"epoch": epoch, "batches_done": n_steps,
-                     "preempted": True, "best_eer": best_eer,
-                     "epochs_no_improve": epochs_no_improve},
-                    self._sidecar_extra())
-                log_fn(f"[PREEMPTED] saved mid-epoch state at epoch {epoch} "
-                       f"batch {n_steps}; resume with --resume")
+            if preempted:
+                if save_dir is not None:
+                    ckpt.wait_for_saves()
+                    ckpt.save_checkpoint(
+                        save_dir, "baseline_latest", state, cfg.ckpt_config(),
+                        {"epoch": epoch, "batches_done": n_steps,
+                         "preempted": True, "best_eer": best_eer,
+                         "epochs_no_improve": epochs_no_improve},
+                        self._sidecar_extra())
+                log_fn(f"[PREEMPTED] {'saved mid-epoch state at' if save_dir else 'stopping (no save_dir) at'} "
+                       f"epoch {epoch} batch {n_steps}"
+                       + ("; resume with --resume" if save_dir else ""))
                 history["preempted"] = True
                 return state, history
             train_loss = float(np.mean(jax.device_get(losses))) if losses else 0.0

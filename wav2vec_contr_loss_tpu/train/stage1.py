@@ -495,17 +495,19 @@ class Stage1Trainer:
                 if preemption is not None and preemption.requested(n_steps):
                     preempted = True
                     break
-            if preempted and save_dir is not None:
-                # blocking save (we are about to exit): full state + the
-                # batch cursor; resume replays the epoch from batch n_steps
-                ckpt.wait_for_saves()
-                ckpt.save_checkpoint(
-                    save_dir, "latest", state, self.cfg.ckpt_config(),
-                    {"epoch": epoch, "batches_done": n_steps,
-                     "preempted": True, "best_dev": best_dev},
-                    self._sidecar_extra())
-                log_fn(f"[PREEMPTED] saved mid-epoch state at epoch {epoch} "
-                       f"batch {n_steps}; resume with --resume")
+            if preempted:
+                if save_dir is not None:
+                    # blocking save (we are about to exit): full state + the
+                    # batch cursor; resume replays the epoch from that batch
+                    ckpt.wait_for_saves()
+                    ckpt.save_checkpoint(
+                        save_dir, "latest", state, self.cfg.ckpt_config(),
+                        {"epoch": epoch, "batches_done": n_steps,
+                         "preempted": True, "best_dev": best_dev},
+                        self._sidecar_extra())
+                log_fn(f"[PREEMPTED] {'saved mid-epoch state at' if save_dir else 'stopping (no save_dir) at'} "
+                       f"epoch {epoch} batch {n_steps}"
+                       + ("; resume with --resume" if save_dir else ""))
                 history["preempted"] = True
                 return state, history
             losses = jax.device_get(losses) if losses else []
