@@ -74,3 +74,18 @@ def test_gang_checkpoint_restores_single_process(two_proc_result):
               __import__("jax").tree_util.tree_leaves(params)]
     param_l1 = float(sum(np.sum(np.abs(x), dtype=np.float64) for x in leaves))
     np.testing.assert_allclose(param_l1, results[0]["param_l1"], rtol=1e-9)
+
+
+def test_preemption_flag_agreement_across_processes(two_proc_result):
+    """The preemption 'signal' lands on process 0 only; the guard's
+    periodic allgather must make BOTH processes stop at the same step
+    (sync_every=2 -> agreed at step 2), and the mid-run save from that
+    point must be a working collective (restorable single-process)."""
+    from wav2vec_contr_loss_tpu.train import checkpoint as ckpt
+
+    results, ckpt_dir = two_proc_result
+    r0, r1 = results
+    assert r0["preempt_stop"] == r1["preempt_stop"] == 2
+    assert ckpt.checkpoint_exists(ckpt_dir, "preempt")
+    m = ckpt.load_sidecar(ckpt_dir, "preempt")["metrics"]
+    assert m["preempted"] is True and m["batches_done"] == 2

@@ -35,6 +35,7 @@ COMMANDS = {
     "verify_parity": ("verify_parity", "acceptance harness vs the reference's committed score files"),
     "bench_components": ("bench_components", "on-chip component benchmarks (serving/extract/...)"),
     "cache_waveforms": ("cache_waveforms", "prebuild the decode-once waveform cache for a protocol"),
+    "doctor": ("doctor", "environment self-check (devices, decoder, jit, checkpointing)"),
 }
 
 

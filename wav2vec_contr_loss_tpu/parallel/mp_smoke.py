@@ -120,11 +120,35 @@ def run_smoke(ckpt_dir: Optional[str] = None) -> Dict:
                              config={"SMOKE": 1},
                              metrics={"final_loss": losses[-1]})
 
+    preempt_stop = None
+    if ckpt_dir is not None and jax.process_count() > 1:
+        # Preemption-agreement leg: the signal lands on ONE host only
+        # (process 0 marks its guard); the periodic allgather in
+        # PreemptionGuard.requested must make every process stop at the
+        # SAME step so the mid-epoch save stays a lockstep collective.
+        from ..utils.preemption import PreemptionGuard
+
+        guard = PreemptionGuard(sync_every=2)
+        if jax.process_index() == 0:
+            guard.mark()
+        n = 0
+        for dev_batch in trainer._device_batches(batches()):
+            state, metrics = trainer.train_step(state, dev_batch, alpha)
+            n += 1
+            if guard.requested(n):
+                preempt_stop = n
+                break
+        # collective mid-run save from the agreed stop point
+        ckpt.save_checkpoint(ckpt_dir, "preempt", state.params,
+                             config={"SMOKE": 1},
+                             metrics={"batches_done": n, "preempted": True})
+
     return {
         "process_count": int(jax.process_count()),
         "losses": losses,
         "param_sum": param_sum,
         "param_l1": param_l1,
+        "preempt_stop": preempt_stop,
     }
 
 
