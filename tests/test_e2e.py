@@ -194,3 +194,19 @@ def test_extract_encoder_features(stage1_run, tmp_path):
     feats = np.load(emb_path, mmap_mode="r")
     assert feats.shape == (32, 32, extract.FIXED_TIME_DIM)
     assert np.isfinite(np.asarray(feats[:2])).all()
+
+
+def test_fit_profile_dir_writes_trace(tiny_corpus, tmp_path):
+    """`fit(profile_dir=...)` captures a 4-step jax.profiler trace (steps
+    2-5; step 1 excluded as compile) and training completes normally."""
+    import glob
+
+    ds = make_ds(tiny_corpus)
+    trainer = Stage1Trainer(STAGE1_CFG.replace(epochs=1), enc_config=TINY_ENC)
+    pipe = BatchPipeline(ds, STAGE1_CFG.batch_size, seed=7, num_workers=2)
+    prof = str(tmp_path / "prof")
+    _, hist = trainer.fit(trainer.init_state(), pipe, profile_dir=prof)
+    assert len(hist["train_loss"]) == 1
+    xplanes = glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
+                        recursive=True)
+    assert xplanes, f"no xplane trace under {prof}"

@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans — the functional-purity "
                         "equivalent of a sanitizer (SURVEY.md §5)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of train steps 2-5 "
+                        "into this directory (TensorBoard/Perfetto xplane)")
     from ..utils.distributed import add_multihost_arg
 
     add_multihost_arg(p)
@@ -244,7 +247,8 @@ def main(argv=None) -> None:
         _, history = trainer.fit(state, train_pipe, dev_pipe,
                                  save_dir=save_dir, start_epoch=start_epoch,
                                  skip_steps=skip_steps, best_dev=best_dev,
-                                 preemption=guard)
+                                 preemption=guard,
+                                 profile_dir=args.profile_dir)
     if history.get("preempted"):
         print(f"==> Stage-1 training PREEMPTED; state saved in {save_dir} "
               f"(rerun with --resume)")

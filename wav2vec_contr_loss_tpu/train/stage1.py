@@ -455,6 +455,7 @@ class Stage1Trainer:
         preemption=None,
         skip_steps: int = 0,
         best_dev: float = float("inf"),
+        profile_dir: Optional[str] = None,
     ) -> Tuple[Stage1State, Dict]:
         """Epoch loop with best-by-dev-loss checkpointing
         (reference: train_stage1.py:99-133). `metrics_logger` optionally
@@ -467,7 +468,12 @@ class Stage1Trainer:
         sampler/augmentation stream past the cursor), and `best_dev`
         carries the best dev loss across resumes so a post-resume epoch
         can't spuriously capture 'best'. The resumed trajectory is
-        bit-identical to an uninterrupted run (tests/test_preemption.py)."""
+        bit-identical to an uninterrupted run (tests/test_preemption.py).
+
+        `profile_dir` captures a jax.profiler trace (TensorBoard/Perfetto
+        xplane) of training steps 2-5 of the first epoch run this
+        session — step 1 is excluded (compile), and the stop is synced
+        on the last profiled step's loss."""
         cfg = self.cfg
         if dev_pipe is not None and dev_pipe.rawboost is not None:
             # the reference never augments at eval (stage1_utils.py:138-153)
@@ -487,14 +493,31 @@ class Stage1Trainer:
             skip = skip_steps if epoch == start_epoch else 0
             n_steps = skip  # absolute batch cursor within the epoch
             preempted = False
+            profiling = False
             for batch in self._device_batches(
                     train_pipe.train_epoch(epoch, skip=skip)):
+                if (profile_dir and epoch == start_epoch
+                        and n_steps == skip + 1 and not profiling):
+                    # steps 2-5: step 1 paid the compile
+                    jax.block_until_ready(losses[-1])
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
                 state, metrics = self.train_step(state, batch, alpha_dev)
                 losses.append(metrics["loss"])
                 n_steps += 1
+                if profiling and n_steps >= skip + 5:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_dir = None  # one capture per fit
+                    log_fn(f"[PROFILE] 4-step trace written")
                 if preemption is not None and preemption.requested(n_steps):
                     preempted = True
                     break
+            if profiling:  # epoch (or preemption) ended inside the window
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_dir = None
             if preempted:
                 if save_dir is not None:
                     # blocking save (we are about to exit): full state + the
