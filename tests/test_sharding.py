@@ -388,3 +388,61 @@ def test_sequence_parallel_validation():
     params = enc2.init(jax.random.PRNGKey(0), wave)  # init skips constraints
     with pytest.raises(ValueError, match="mesh"):
         enc2.apply(params, wave)
+
+
+def test_checkpoint_restores_across_mesh_shapes(tmp_path):
+    """Topology-elastic restore: a checkpoint written by an fsdp+tp run on
+    the 4x2 mesh restores onto ONE device (and back onto 4x2), values
+    bit-equal, and training continues on the new topology. Production
+    claim: a pod job's checkpoint can be resumed/debugged/served on any
+    device count."""
+    from wav2vec_contr_loss_tpu.train import checkpoint as ckpt
+
+    enc4 = Wav2Vec2Config(   # 4 layers so fsdp actually shards over data=4
+        hidden_size=32, num_layers=4, num_heads=4, intermediate_size=64,
+        conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        dtype=jnp.float32, apply_spec_augment=False,
+    )
+    cfg = Stage1Config(
+        batch_size=8, max_duration_seconds=1, target_sample_rate=2000,
+        input_dim=32, hidden_dim=16, use_rawboost=False,
+        finetune_encoder=True, compute_dtype="float32", seed=0,
+        param_sharding="fsdp",
+    )
+    wave, labels = _batch()
+    save = str(tmp_path / "elastic")
+
+    mesh8 = make_mesh(n_model=2)
+    trainer = Stage1Trainer(cfg, enc_config=enc4, mesh=mesh8)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch8 = {k: jax.device_put(v[:8], batch_sharding(mesh8))
+              for k, v in {"waveforms": wave, "labels": labels,
+                           "multi_labels": labels}.items()}
+    state, _ = trainer.train_step(state, batch8, jnp.zeros((), jnp.float32))
+    ckpt.save_checkpoint(save, "best", state, cfg.ckpt_config(),
+                         {"epoch": 1}, trainer._sidecar_extra())
+    want = jax.device_get(state.params)
+
+    # restore on ONE device and continue training there
+    mesh1 = make_mesh(devices=np.array(jax.devices()[:1]))
+    tr1, st1 = Stage1Trainer.from_checkpoint(save, "best", mesh=mesh1)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(st1.params)),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    batch1 = {k: jax.device_put(v[:8], batch_sharding(mesh1))
+              for k, v in {"waveforms": wave, "labels": labels,
+                           "multi_labels": labels}.items()}
+    st1, m1 = tr1.train_step(st1, batch1, jnp.zeros((), jnp.float32))
+    assert np.isfinite(float(m1["loss"]))
+
+    # and back onto the 4x2 fsdp mesh
+    tr8, st8 = Stage1Trainer.from_checkpoint(save, "best",
+                                             mesh=make_mesh(n_model=2))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(st8.params)),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    st8, m8 = tr8.train_step(st8, batch8, jnp.zeros((), jnp.float32))
+    # same restored state, same batch -> same step loss on both shapes
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=2e-5)
