@@ -53,8 +53,12 @@ def main(argv=None) -> None:
     p.add_argument("--hidden_dim", type=int, default=None)
     p.add_argument("--skip_plots", action="store_true")
     p.add_argument("--resume", action="store_true",
-                   help="resume stage-1 from its latest checkpoint; later "
-                        "stages are already idempotent (skip-if-exists)")
+                   help="resume stage-1 from its latest checkpoint (incl. "
+                        "mid-epoch preemption saves); later stages are "
+                        "already idempotent (skip-if-exists)")
+    p.add_argument("--cache_waveforms", type=str, default=None,
+                   help="decode-once waveform cache dir for the stage-1 "
+                        "training leg (data/cache.py)")
     from ..utils.distributed import add_multihost_arg, init_from_args
 
     add_multihost_arg(p)
@@ -89,6 +93,8 @@ def main(argv=None) -> None:
             s1 += [f"--{flag}", str(v)]
     if args.resume:
         s1 += ["--resume"]
+    if args.cache_waveforms:
+        s1 += ["--cache_waveforms", args.cache_waveforms]
     train_stage1.main(s1)
 
     # 2) extraction (train/dev/eval/itw as provided)
