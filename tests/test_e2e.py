@@ -198,15 +198,49 @@ def test_extract_encoder_features(stage1_run, tmp_path):
 
 def test_fit_profile_dir_writes_trace(tiny_corpus, tmp_path):
     """`fit(profile_dir=...)` captures a 4-step jax.profiler trace (steps
-    2-5; step 1 excluded as compile) and training completes normally."""
+    2-5; step 1 excluded as compile) and training completes normally.
+
+    batch_size=4 gives 8 steps/epoch so the IN-LOOP window close (sync +
+    stop at step 5 + '[PROFILE]' log) runs — not just the end-of-epoch
+    fallback stop (review r3). Single-device mesh: batch 4 cannot
+    dp-shard over the virtual 8-device mesh."""
+    import glob
+
+    from wav2vec_contr_loss_tpu.parallel import make_mesh
+
+    ds = make_ds(tiny_corpus)
+    cfg = STAGE1_CFG.replace(epochs=1, batch_size=4)
+    mesh1 = make_mesh(devices=np.array(jax.devices()[:1]))
+    trainer = Stage1Trainer(cfg, enc_config=TINY_ENC, mesh=mesh1)
+    pipe = BatchPipeline(ds, cfg.batch_size, seed=7, num_workers=2)
+    prof = str(tmp_path / "prof")
+    logs = []
+    _, hist = trainer.fit(trainer.init_state(), pipe, profile_dir=prof,
+                          log_fn=logs.append)
+    assert len(hist["train_loss"]) == 1
+    assert any("[PROFILE]" in str(m) for m in logs), \
+        "in-loop profiler stop path never ran"
+    xplanes = glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
+                        recursive=True)
+    assert xplanes, f"no xplane trace under {prof}"
+
+
+def test_fit_profile_dir_epoch_ends_inside_window(tiny_corpus, tmp_path):
+    """Fallback stop path: with batch 8 the 32-clip corpus yields only 4
+    steps, so the epoch ends INSIDE the profiling window (steps 2-5) and
+    the end-of-epoch stop (drain sync + stop_trace, no '[PROFILE]' log)
+    must still produce a usable trace."""
     import glob
 
     ds = make_ds(tiny_corpus)
     trainer = Stage1Trainer(STAGE1_CFG.replace(epochs=1), enc_config=TINY_ENC)
     pipe = BatchPipeline(ds, STAGE1_CFG.batch_size, seed=7, num_workers=2)
     prof = str(tmp_path / "prof")
-    _, hist = trainer.fit(trainer.init_state(), pipe, profile_dir=prof)
+    logs = []
+    _, hist = trainer.fit(trainer.init_state(), pipe, profile_dir=prof,
+                          log_fn=logs.append)
     assert len(hist["train_loss"]) == 1
+    assert not any("[PROFILE]" in str(m) for m in logs)  # in-loop stop unmet
     xplanes = glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
                         recursive=True)
     assert xplanes, f"no xplane trace under {prof}"

@@ -6,12 +6,18 @@
 #     bash tools/run_pending_tpu.sh [logfile]
 #
 # Steps run SERIALLY (concurrent heavy jobs starve each other — CLAUDE.md)
-# and each prints one JSON line. Completed 2026-08-18: headline bench
-# (150.8), grad_dtype bf16 (155.3, adopted), int8 serving B=8 rows and
-# int8 extract B=32 rows (docs/SERVING.md — w8a8 405.6 resident).
-# Remaining: the layer_mean_dtype re-adjudication at the 155.3 base
-# (measured neutral at the r2 131.9 base; the carry band's relative
-# share grew as other bands shrank).
+# and each prints one JSON line.
+#
+# All round-3 pending measurements are COMPLETE as of 2026-08-19:
+#   - headline bench (150.8), grad_dtype bf16 (155.3, adopted)
+#   - int8 serving B=8 rows and int8 extract B=32 rows
+#     (docs/SERVING.md — w8a8 405.6 clips/s resident)
+#   - layer_mean_dtype re-adjudication at the 155.3 base: 155.1,
+#     still neutral, fp32 kept (commit c44ebaa; docs/TRAINING.md table)
+#
+# The default step below is a plain headline re-measurement — use this
+# file as the template when new measurements queue up behind a service
+# outage.
 set -u
 LOG=${1:-/tmp/pending_tpu_results.log}
 run() {
@@ -19,6 +25,6 @@ run() {
   timeout 5400 "$@" 2>&1 | tail -3 | tee -a "$LOG"
 }
 
-run python bench.py --layer_mean_dtype bfloat16
+run python bench.py
 
 echo "=== done $(date -u '+%H:%M:%S') — results in $LOG" | tee -a "$LOG"

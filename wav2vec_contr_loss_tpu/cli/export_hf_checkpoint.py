@@ -42,25 +42,17 @@ def main(argv=None) -> None:
         sidecar = ckpt.load_sidecar(args.src, args.name)
         extra = sidecar.get("extra", {})
         if "stage1_config" in extra:
-            from ..train.stage1 import Stage1Trainer
-
-            trainer, state = Stage1Trainer.from_checkpoint(args.src,
-                                                           args.name)
-            enc_cfg = trainer.enc_config
-            enc_params = (state.params.get("encoder")
-                          or state.frozen.get("encoder"))
+            from ..train.stage1 import Stage1Trainer as Trainer
         elif "baseline_config" in extra:
-            from ..train.baseline import BaselineTrainer
-
-            trainer, state = BaselineTrainer.from_checkpoint(args.src,
-                                                             args.name)
-            enc_cfg = trainer.enc_config
-            enc_params = (state.params.get("encoder")
-                          or state.frozen.get("encoder"))
+            from ..train.baseline import BaselineTrainer as Trainer
         else:
             raise SystemExit(f"unrecognized checkpoint at {args.src}/"
                              f"{args.name}: no stage1/baseline/encoder-init "
                              f"sidecar")
+        trainer, state = Trainer.from_checkpoint(args.src, args.name)
+        enc_cfg = trainer.enc_config
+        enc_params = (state.params.get("encoder")
+                      or state.frozen.get("encoder"))
     if enc_params is None:
         raise SystemExit("checkpoint holds no encoder params")
     out = save_hf_checkpoint(args.out, enc_cfg, enc_params)

@@ -86,13 +86,23 @@ def _pos_conv_out(sd: Dict, kernel, target_keys: Iterable[str]) -> None:
     w = _f32(kernel).transpose(2, 1, 0)          # -> (out, in/groups, k)
     prefix = "encoder.pos_conv_embed.conv"
     g = np.sqrt((w ** 2).sum(axis=(0, 1), keepdims=True))  # dim=2 norm
+    # An all-zero (out,in) slice gives g[k]=0 AND ||v[k]||=0, and torch's
+    # reconstruction g·v/||v|| would emit NaN (0·0/0). Substitute a unit
+    # v for those slices (weight-norm layouts only — the plain-weight
+    # layout exports w untouched): g stays 0, so the rebuilt w is
+    # exactly 0, mirroring hf_convert's max(norm, 1e-12) import guard.
+    v = w
+    zero_k = (g == 0.0)[0, 0]
+    if zero_k.any():
+        v = w.copy()
+        v[0, 0, zero_k] = 1.0
     keys = set(target_keys)
     if f"{prefix}.weight_g" in keys:
         sd[f"{prefix}.weight_g"] = g
-        sd[f"{prefix}.weight_v"] = w
+        sd[f"{prefix}.weight_v"] = v
     elif f"{prefix}.parametrizations.weight.original0" in keys:
         sd[f"{prefix}.parametrizations.weight.original0"] = g
-        sd[f"{prefix}.parametrizations.weight.original1"] = w
+        sd[f"{prefix}.parametrizations.weight.original1"] = v
     else:
         sd[f"{prefix}.weight"] = w
 

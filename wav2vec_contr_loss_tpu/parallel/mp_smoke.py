@@ -138,6 +138,10 @@ def run_smoke(ckpt_dir: Optional[str] = None) -> Dict:
             if guard.requested(n):
                 preempt_stop = n
                 break
+        if preempt_stop is None:
+            raise RuntimeError(
+                "preemption agreement never reached before the epoch "
+                "ended — sync_every vs step-count geometry is broken")
         # collective mid-run save from the agreed stop point
         ckpt.save_checkpoint(ckpt_dir, "preempt", state.params,
                              config={"SMOKE": 1},

@@ -498,15 +498,18 @@ class Stage1Trainer:
                     train_pipe.train_epoch(epoch, skip=skip)):
                 if (profile_dir and epoch == start_epoch
                         and n_steps == skip + 1 and not profiling):
-                    # steps 2-5: step 1 paid the compile
-                    jax.block_until_ready(losses[-1])
+                    # steps 2-5: step 1 paid the compile. Host fetch, not
+                    # block_until_ready: on the axon remote TPU only a
+                    # fetch reliably waits for execution (CLAUDE.md), and
+                    # the trace must not contain step 1's compile tail.
+                    float(losses[-1])
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
                 state, metrics = self.train_step(state, batch, alpha_dev)
                 losses.append(metrics["loss"])
                 n_steps += 1
                 if profiling and n_steps >= skip + 5:
-                    jax.block_until_ready(metrics["loss"])
+                    float(metrics["loss"])  # host fetch: reliable sync
                     jax.profiler.stop_trace()
                     profiling = False
                     profile_dir = None  # one capture per fit
@@ -515,6 +518,7 @@ class Stage1Trainer:
                     preempted = True
                     break
             if profiling:  # epoch (or preemption) ended inside the window
+                float(losses[-1])  # drain async-dispatched profiled steps
                 jax.profiler.stop_trace()
                 profiling = False
                 profile_dir = None
