@@ -50,6 +50,10 @@ def test_run_pipeline_cli(cli_corpus, tmp_path):
         "--epochs", "2", "--batch_size", "8",
         "--max_duration_seconds", "1",
         "--input_dim", "32", "--hidden_dim", "16",
+        # hot stage-2 (the e2e tests' Stage2Config): the tiny corpus is
+        # separable, so the pipeline must drive EER to ~0 — and a score
+        # orientation bug (inverted vs keys) must read as 100, not pass
+        "--stage2_lr", "5e-2", "--stage2_epochs", "40",
     ])
 
     exp = os.path.join(work, "supcon_temp_0.07")
@@ -68,7 +72,7 @@ def test_run_pipeline_cli(cli_corpus, tmp_path):
     from wav2vec_contr_loss_tpu.eval.metrics import calculate_eer_from_file
 
     eer = calculate_eer_from_file(score_file)
-    assert 0.0 <= eer <= 100.0
+    assert eer <= 10.0  # separable corpus: near-zero, and NOT inverted
 
     # attack-type-colored UMAP from the saved multi-labels + attack map
     from wav2vec_contr_loss_tpu.cli import plot_umap

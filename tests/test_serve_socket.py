@@ -1,0 +1,206 @@
+"""Multi-client socket serving: dynamic micro-batching (eval/server.py).
+
+The reference's deployment is offline and single-tenant
+(generate_eval_score_file.py:97-295); the socket server is the
+multi-tenant online counterpart. Contracts under test: requests from
+concurrent clients coalesce into the scorer's static batch, every future
+resolves to ITS clip's logit (no cross-wiring), per-connection response
+order is request order, under-full batches dispatch after max_wait_ms
+tail-padded, and a corrupted path follows the zero-waveform fallback
+(base_audio.py:21-34) instead of killing the stream.
+"""
+
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wav2vec_contr_loss_tpu.config import Stage1Config, Stage2Config
+from wav2vec_contr_loss_tpu.data.audio import AudioConfig, AudioLoader, write_wav
+from wav2vec_contr_loss_tpu.eval.server import DynamicBatcher, ScoringServer
+from wav2vec_contr_loss_tpu.eval.serving import SpoofScorer
+from wav2vec_contr_loss_tpu.models.heads import build_head
+from wav2vec_contr_loss_tpu.models.wav2vec2 import Wav2Vec2Config
+from wav2vec_contr_loss_tpu.train import Stage1Trainer
+
+SR = 16000
+TINY_ENC = Wav2Vec2Config(
+    hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+    conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    dtype=jnp.float32, apply_spec_augment=False,
+)
+
+
+# ---------------------------------------------------------------- batcher
+
+def test_batcher_coalesces_and_maps_results():
+    calls = []
+
+    def score_fn(waves):
+        calls.append(np.array(waves))
+        return waves.sum(axis=1)
+
+    b = DynamicBatcher(score_fn, batch=4, num_samples=8, max_wait_ms=250)
+    futs = [b.submit(np.full(8, i + 1, np.float32)) for i in range(4)]
+    # each future resolves to ITS clip's sum — no cross-wiring
+    assert [f.result(timeout=10) for f in futs] == [8.0, 16.0, 24.0, 32.0]
+    stats_mid = (b.n_clips, b.n_batches)
+    assert stats_mid == (4, 1)  # full batch: one dispatch, no wait
+    assert calls[0].shape == (4, 8)
+
+    # under-full: dispatches alone after max_wait, tail zero-padded
+    t0 = time.monotonic()
+    f = b.submit(np.ones(8, np.float32))
+    assert f.result(timeout=10) == 8.0
+    assert time.monotonic() - t0 < 5.0
+    assert calls[-1].shape == (4, 8)
+    assert not calls[-1][1:].any()  # padding rows are zeros
+
+    stats = b.close()
+    assert stats["clips"] == 5 and stats["batches"] == 2
+    assert stats["occupancy"] == pytest.approx(5 / 8)
+
+
+def test_batcher_trims_overlong_clips():
+    def score_fn(waves):
+        return waves.sum(axis=1)
+
+    b = DynamicBatcher(score_fn, batch=2, num_samples=4, max_wait_ms=1)
+    f = b.submit(np.ones(10, np.float32))  # longer than the static T
+    assert f.result(timeout=10) == 4.0
+    b.close()
+
+
+def test_batcher_error_propagates_and_survives():
+    boom = {"n": 0}
+
+    def score_fn(waves):
+        boom["n"] += 1
+        if boom["n"] == 1:
+            raise RuntimeError("transient")
+        return waves.sum(axis=1)
+
+    b = DynamicBatcher(score_fn, batch=2, num_samples=4, max_wait_ms=1)
+    f1 = b.submit(np.ones(4, np.float32))
+    with pytest.raises(RuntimeError, match="transient"):
+        f1.result(timeout=10)
+    # the batcher keeps serving after a failed dispatch
+    f2 = b.submit(np.ones(4, np.float32))
+    assert f2.result(timeout=10) == 4.0
+    b.close()
+
+
+def test_batcher_close_rejects_new_work():
+    b = DynamicBatcher(lambda w: w.sum(axis=1), batch=2, num_samples=4)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(np.ones(4, np.float32))
+
+
+# ----------------------------------------------------------------- server
+
+@pytest.fixture(scope="module")
+def tiny_scorer():
+    cfg = Stage1Config(batch_size=4, finetune_encoder=False,
+                       use_rawboost=False, input_dim=32, hidden_dim=16,
+                       max_duration_seconds=1, compute_dtype="float32")
+    trainer = Stage1Trainer(cfg, enc_config=TINY_ENC)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    cfg2 = Stage2Config(hidden_dim=16)
+    head = build_head(cfg2.head_type, cfg2.hidden_dim, cfg2.dropout)
+    head_params = head.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, cfg.hidden_dim)))["params"]
+    return SpoofScorer(trainer, state, cfg2, head_params)
+
+
+def expected_logit(scorer, wave):
+    waves = np.zeros((1, SR), np.float32)
+    n = min(len(wave), SR)
+    waves[0, :n] = wave[:n]
+    return float(np.asarray(scorer._score(scorer.put_waves(waves)))[0])
+
+
+def _client(addr, lines):
+    """Send all lines, then read one reply per line (ordered)."""
+    with socket.create_connection(addr, timeout=60) as s:
+        f = s.makefile("rw", encoding="utf-8", newline="\n")
+        for line in lines:
+            f.write(line + "\n")
+        f.flush()
+        s.shutdown(socket.SHUT_WR)
+        return [f.readline().rstrip("\n") for _ in lines]
+
+
+def test_socket_server_two_concurrent_clients(tiny_scorer, tmp_path):
+    rng = np.random.default_rng(7)
+    loader = AudioLoader(AudioConfig(SR, 1))
+    waves = {}
+    for i in range(12):
+        name = f"c{i:02d}.wav"
+        x = (0.3 * np.sin(2 * np.pi * (220 + 30 * i) * np.arange(SR) / SR)
+             if i % 2 == 0 else 0.2 * rng.standard_normal(SR))
+        write_wav(tmp_path / name, x.astype(np.float32), SR)
+        # expected logits go through the SAME decode path the server uses
+        waves[str(tmp_path / name)] = loader.load(str(tmp_path / name))
+
+    logs = []
+    server = ScoringServer(tiny_scorer, port=0, batch=4,
+                           audio_config=AudioConfig(SR, 1), workers=4,
+                           max_wait_ms=30, log_fn=logs.append)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    paths = sorted(waves)
+    lines_a = [f"req{i}\t{p}" for i, p in enumerate(paths[:6])]
+    lines_b = paths[6:]  # untagged: path echoes back
+    out = {}
+    ths = [threading.Thread(
+        target=lambda k, ls: out.__setitem__(k, _client(server.address, ls)),
+        args=(k, ls)) for k, ls in (("a", lines_a), ("b", lines_b))]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join(timeout=120)
+    stats = server.shutdown()
+    t.join(timeout=30)
+
+    assert stats["clips"] == 12
+    # per-connection response order == request order, tags echoed
+    tags_a = [line.split("\t")[0] for line in out["a"]]
+    assert tags_a == [f"req{i}" for i in range(6)]
+    assert [line.split("\t")[0] for line in out["b"]] == lines_b
+
+    # every reply carries ITS clip's logit
+    for line, p in zip(out["a"], paths[:6]):
+        got = float(line.split("\t")[1])
+        assert got == pytest.approx(expected_logit(tiny_scorer, waves[p]),
+                                    abs=2e-4)
+    for line, p in zip(out["b"], paths[6:]):
+        got = float(line.split("\t")[1])
+        assert got == pytest.approx(expected_logit(tiny_scorer, waves[p]),
+                                    abs=2e-4)
+
+
+def test_socket_server_corrupt_path_zero_fallback(tiny_scorer, tmp_path):
+    server = ScoringServer(tiny_scorer, port=0, batch=2,
+                           audio_config=AudioConfig(SR, 1), workers=2,
+                           max_wait_ms=5, log_fn=lambda m: None)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        (out,) = [_client(server.address,
+                          [f"x\t{tmp_path / 'missing.wav'}"])]
+        tag, val = out[0].split("\t")
+        assert tag == "x"
+        # missing file -> zero waveform -> the silence logit, not ERROR
+        assert float(val) == pytest.approx(
+            expected_logit(tiny_scorer, np.zeros(SR, np.float32)), abs=2e-4)
+    finally:
+        server.shutdown()
+        t.join(timeout=30)

@@ -51,6 +51,13 @@ def main(argv=None) -> None:
     p.add_argument("--max_duration_seconds", type=int, default=None)
     p.add_argument("--input_dim", type=int, default=None)
     p.add_argument("--hidden_dim", type=int, default=None)
+    # stage-2 overrides (the reference's sbatch can vary the classifier
+    # flags independently of stage-1 — train_stage1.sbatch:105-108)
+    p.add_argument("--stage2_lr", type=float, default=None)
+    p.add_argument("--stage2_epochs", type=int, default=None)
+    p.add_argument("--stage2_patience", type=int, default=None)
+    p.add_argument("--stage2_head_type", type=str, default=None,
+                   choices=["linear", "mlp"])
     p.add_argument("--skip_plots", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="resume stage-1 from its latest checkpoint (incl. "
@@ -114,7 +121,14 @@ def main(argv=None) -> None:
                                 "--out_dir", os.path.join(exp_dir, "plots")])
 
     # 4) stage-2
-    train_stage2.main(["--emb_dir", emb_dir, "--save_dir", stage2_dir])
+    s2 = ["--emb_dir", emb_dir, "--save_dir", stage2_dir]
+    for flag, name in (("lr", "stage2_lr"), ("epochs", "stage2_epochs"),
+                       ("patience", "stage2_patience"),
+                       ("head_type", "stage2_head_type")):
+        v = getattr(args, name)
+        if v is not None:
+            s2 += [f"--{flag}", str(v)]
+    train_stage2.main(s2)
 
     # 5) scores
     splits = [s for s in ("eval", "itw")

@@ -219,6 +219,15 @@ def main(argv=None) -> None:
                    help="optional decision threshold: adds a third column "
                         "bonafide/spoof (e.g. the dev-EER threshold printed "
                         "by cli.eval_scores)")
+    p.add_argument("--socket", type=str, default=None, metavar="HOST:PORT",
+                   help="serve a TCP line protocol instead of stdin/stdout "
+                        "(port 0 = ephemeral, printed on stderr): N "
+                        "concurrent clients send '<path>' or '<id>\\t<path>' "
+                        "lines and their clips coalesce into shared device "
+                        "batches (eval/server.py dynamic micro-batching)")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="--socket: max time to hold an under-full batch "
+                        "open before dispatching it tail-padded")
     p.add_argument("--windowed", type=str, default="none",
                    choices=["none", "mean", "min", "max", "median"],
                    help="score each clip's FULL length via overlapping "
@@ -286,6 +295,33 @@ def main(argv=None) -> None:
             args.stage1_dir, args.stage2_dir,
             stage1_name=args.stage1_name, stage2_name=args.stage2_name,
             quantize=args.quantize)
+
+    if args.socket is not None:
+        if args.windowed != "none":
+            p.error("--windowed is not supported with --socket (windowed "
+                    "scoring needs whole-clip batching; use the stream mode)")
+        if args.threshold is not None:
+            p.error("--threshold applies to the stream mode; socket clients "
+                    "receive raw logits")
+        import signal
+
+        from ..eval.server import ScoringServer
+
+        host, _, port = args.socket.rpartition(":")
+        try:
+            port_n = int(port)
+        except ValueError:
+            p.error(f"--socket expects HOST:PORT, got {args.socket!r}")
+        server = ScoringServer(
+            scorer, host or "127.0.0.1", port_n, batch=batch,
+            audio_config=audio_cfg, workers=args.num_workers, wire=wire,
+            max_wait_ms=args.max_wait_ms,
+            log_fn=lambda m: print(m, file=sys.stderr))
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, lambda *_: server.request_stop())
+        server.serve_forever()
+        server.shutdown()
+        return
 
     paths = _stdin_paths() if args.list_file is None else (
         line.strip() for line in open(args.list_file) if line.strip())

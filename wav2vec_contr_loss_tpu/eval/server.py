@@ -1,0 +1,312 @@
+"""Multi-client scoring server: dynamic micro-batching over one resident
+compiled graph.
+
+The reference's deployment story is an offline, single-tenant filesystem
+pipeline (extract_stage1_embeddings.py writes .npy, then
+generate_eval_score_file.py:97-295 scores them). `cli.serve` already
+turned that into an online single-stream daemon; this module is the
+multi-tenant step: N concurrent clients submit single clips, and a
+`DynamicBatcher` coalesces them into the scorer's static (batch, T)
+shape — one compiled program, tail-padded — so throughput comes from
+batch occupancy while per-clip latency is bounded by `max_wait_ms`.
+
+Design notes (TPU-shaped):
+  * The compiled graph's batch is STATIC. The batcher always dispatches
+    (batch, T); under-full batches zero-pad (scoring silence costs the
+    same step, never a recompile).
+  * One collector thread owns dispatch order; device compute overlaps
+    request coalescing through a depth-2 resolver queue (dispatch is
+    async in JAX, the resolver thread pays the host fetch) — the same
+    double-buffer discipline as data/pipeline.stream_through_device.
+  * Clients never share state: the server is reader/writer threads per
+    connection over a line protocol, and every request resolves to a
+    concurrent.futures result.
+
+Line protocol (newline-delimited UTF-8, one request per line):
+    <path>            -> response "<path>\t<logit>"
+    <id>\t<path>      -> response "<id>\t<logit>"
+Higher logit == more bonafide-like (the reference's score-file
+convention, generate_eval_score_file.py:214). A corrupted/missing file
+follows the zero-waveform fallback contract (base_audio.py:21-34): it
+scores as silence and the stream stays alive.
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import threading
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Callable, Dict, Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..data.audio import AudioConfig, AudioLoader
+
+__all__ = ["DynamicBatcher", "ScoringServer"]
+
+_STOP = object()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single-clip requests into static device batches.
+
+    `submit(wave)` returns a Future resolving to the clip's float logit.
+    A collector thread blocks for the first pending request, drains up to
+    `batch - 1` more for at most `max_wait_ms`, zero-pads the tail, and
+    dispatches `score_fn(put_fn(waves))`. Resolution (the host fetch) runs
+    on a separate thread behind a depth-2 queue, so the device computes
+    batch N while batch N+1 coalesces.
+    """
+
+    def __init__(self, score_fn: Callable, batch: int, num_samples: int,
+                 max_wait_ms: float = 5.0,
+                 put_fn: Optional[Callable] = None):
+        if batch < 1:
+            raise ValueError(f"batch must be >= 1, got {batch}")
+        self._score = score_fn
+        self._put = put_fn if put_fn is not None else (lambda x: x)
+        self.batch = batch
+        self.num_samples = num_samples
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._resolve_q: queue.Queue = queue.Queue(maxsize=2)
+        self.n_clips = 0
+        self.n_batches = 0
+        self._closed = False
+        self._collector = threading.Thread(target=self._collect,
+                                           name="batcher-collect",
+                                           daemon=True)
+        self._resolver = threading.Thread(target=self._resolve,
+                                          name="batcher-resolve",
+                                          daemon=True)
+        self._collector.start()
+        self._resolver.start()
+
+    # -- client side ------------------------------------------------------
+    def submit(self, wave: np.ndarray) -> Future:
+        """Queue one (T,) float32 clip; -> Future[float] logit."""
+        if self._closed:
+            raise RuntimeError("DynamicBatcher is closed")
+        fut: Future = Future()
+        self._q.put((np.asarray(wave, np.float32), fut))
+        return fut
+
+    def close(self) -> Dict[str, float]:
+        """Drain pending requests, stop the threads, return stats."""
+        if not self._closed:
+            self._closed = True
+            self._q.put(_STOP)
+            self._collector.join()
+            self._resolver.join()
+        occ = self.n_clips / max(1, self.n_batches * self.batch)
+        return {"clips": self.n_clips, "batches": self.n_batches,
+                "occupancy": round(occ, 3)}
+
+    # -- worker side ------------------------------------------------------
+    def _collect(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is _STOP:
+                self._resolve_q.put(_STOP)
+                return
+            entries = [item]
+            deadline = time.monotonic() + self.max_wait
+            stop_after = False
+            while len(entries) < self.batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    stop_after = True
+                    break
+                entries.append(nxt)
+            waves = np.zeros((self.batch, self.num_samples), np.float32)
+            for i, (w, _) in enumerate(entries):
+                n = min(w.shape[-1], self.num_samples)
+                waves[i, :n] = w[..., :n]
+            futs = [f for _, f in entries]
+            try:
+                # async dispatch: the device starts now; the fetch happens
+                # on the resolver thread (depth-2 queue == double buffer)
+                logits = self._score(self._put(waves))
+            except Exception as e:  # compile/dispatch failure
+                for f in futs:
+                    f.set_exception(e)
+            else:
+                self._resolve_q.put((logits, futs))
+                self.n_batches += 1
+                self.n_clips += len(futs)
+            if stop_after:
+                self._resolve_q.put(_STOP)
+                return
+
+    def _resolve(self) -> None:
+        while True:
+            item = self._resolve_q.get()
+            if item is _STOP:
+                return
+            logits, futs = item
+            try:
+                host = np.asarray(logits)  # the reliable sync (CLAUDE.md)
+            except Exception as e:
+                for f in futs:
+                    f.set_exception(e)
+                continue
+            for i, f in enumerate(futs):
+                f.set_result(float(host[i]))
+
+
+def _decoded_tagged(items: Iterable[Tuple[str, str]], loader: AudioLoader,
+                    pool: ThreadPoolExecutor,
+                    lookahead: int) -> Iterator[Tuple[str, np.ndarray]]:
+    """(tag, path) stream -> (tag, waveform) in order, decoding up to
+    `lookahead` ahead on the shared pool (cli.serve._decoded, with a
+    client-chosen tag carried through)."""
+    from collections import deque
+
+    pending: deque = deque()
+    it = iter(items)
+    exhausted = False
+    while True:
+        while not exhausted and len(pending) < lookahead:
+            try:
+                tag, path = next(it)
+            except StopIteration:
+                exhausted = True
+                break
+            pending.append((tag, pool.submit(loader.load, path)))
+        if not pending:
+            return
+        tag, fut = pending.popleft()
+        yield tag, fut.result()
+
+
+class ScoringServer:
+    """Threaded TCP front end over a shared DynamicBatcher.
+
+    One resident scorer serves any number of concurrent connections; each
+    connection gets a reader thread (decode lookahead -> batcher.submit)
+    and a writer thread (resolve futures in request order), so responses
+    per connection are ordered while clips from ALL connections coalesce
+    into shared device batches.
+    """
+
+    def __init__(self, scorer, host: str = "127.0.0.1", port: int = 0,
+                 batch: int = 8,
+                 audio_config: AudioConfig = AudioConfig(),
+                 workers: int = 8, wire: str = "float32",
+                 max_wait_ms: float = 5.0,
+                 log_fn: Callable[[str], None] = print):
+        from ..cli.serve import _put_fn
+
+        self.loader = AudioLoader(audio_config)
+        put = _put_fn(wire, scorer)
+        self.batcher = DynamicBatcher(
+            scorer._score, batch, audio_config.num_samples,
+            max_wait_ms=max_wait_ms, put_fn=lambda w: put((None, w)))
+        self.pool = ThreadPoolExecutor(max_workers=workers,
+                                       thread_name_prefix="decode")
+        self.log = log_fn
+        self._lookahead = max(2, workers)
+        self._sock = socket.create_server((host, port))
+        self.address: Tuple[str, int] = self._sock.getsockname()[:2]
+        self._shutdown = threading.Event()
+        self._conn_threads: list = []
+
+    # -- lifecycle --------------------------------------------------------
+    def serve_forever(self) -> None:
+        """Accept loop; returns after shutdown(). Call from any thread."""
+        self.log(f"[serve] listening on {self.address[0]}:{self.address[1]}")
+        while not self._shutdown.is_set():
+            try:
+                conn, peer = self._sock.accept()
+            except OSError:  # socket closed by shutdown()
+                break
+            t = threading.Thread(target=self._handle, args=(conn, peer),
+                                 daemon=True)
+            t.start()
+            self._conn_threads.append(t)
+
+    def request_stop(self) -> None:
+        """Signal-handler-safe: stop the accept loop without joining
+        anything; `serve_forever` returns and the caller runs
+        `shutdown()` in normal context."""
+        self._shutdown.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def shutdown(self) -> Dict[str, float]:
+        """Stop accepting, wait for live connections, close the batcher."""
+        self.request_stop()
+        for t in self._conn_threads:
+            t.join(timeout=30)
+        stats = self.batcher.close()
+        self.pool.shutdown(wait=False)
+        self.log(f"[serve] done: {stats['clips']} clips in "
+                 f"{stats['batches']} batches "
+                 f"(occupancy {stats['occupancy']:.0%})")
+        return stats
+
+    # -- per-connection ---------------------------------------------------
+    def _handle(self, conn: socket.socket, peer) -> None:
+        out_q: queue.Queue = queue.Queue()
+
+        def writer():
+            wfile = conn.makefile("w", encoding="utf-8", newline="\n")
+            try:
+                while True:
+                    entry = out_q.get()
+                    if entry is _STOP:
+                        return
+                    tag, fut = entry
+                    try:
+                        logit = fut.result()
+                        wfile.write(f"{tag}\t{logit:.6f}\n")
+                    except Exception as e:
+                        wfile.write(f"{tag}\tERROR {type(e).__name__}\n")
+                    wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                pass  # client went away; drain silently
+            finally:
+                try:
+                    wfile.close()
+                except OSError:
+                    pass
+
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+        n = 0
+        try:
+            rfile = conn.makefile("r", encoding="utf-8", newline="\n")
+
+            def requests():
+                for line in rfile:
+                    line = line.rstrip("\n").rstrip("\r")
+                    if not line:
+                        continue
+                    tag, _, path = line.partition("\t")
+                    yield (tag, path) if path else (line, line)
+
+            for tag, wave in _decoded_tagged(requests(), self.loader,
+                                             self.pool, self._lookahead):
+                out_q.put((tag, self.batcher.submit(wave)))
+                n += 1
+        except (ConnectionResetError, OSError):
+            pass
+        finally:
+            out_q.put(_STOP)
+            wt.join()
+            try:
+                conn.close()
+            except OSError:
+                pass
+            self.log(f"[serve] {peer[0]}:{peer[1]} disconnected "
+                     f"after {n} clips")
