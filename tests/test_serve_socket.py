@@ -96,6 +96,22 @@ def test_batcher_error_propagates_and_survives():
     b.close()
 
 
+def test_batcher_queue_is_bounded():
+    """Decode-ahead backpressure: the request queue must be bounded so a
+    streamed corpus can't pile unbounded waveforms in RAM (review r3)."""
+    b = DynamicBatcher(lambda w: w.sum(axis=1), batch=8, num_samples=4)
+    assert b._q.maxsize == 32  # max(4*batch, 16)
+    # functional: a fast producer against a batch-1 consumer still gets
+    # every result (submit blocks instead of growing the queue)
+    b2 = DynamicBatcher(lambda w: w.sum(axis=1), batch=1, num_samples=4,
+                        max_wait_ms=0.1)
+    futs = [b2.submit(np.full(4, i, np.float32)) for i in range(64)]
+    assert [f.result(timeout=30) for f in futs] == [4.0 * i
+                                                    for i in range(64)]
+    b.close()
+    b2.close()
+
+
 def test_batcher_close_rejects_new_work():
     b = DynamicBatcher(lambda w: w.sum(axis=1), batch=2, num_samples=4)
     b.close()
@@ -185,6 +201,52 @@ def test_socket_server_two_concurrent_clients(tiny_scorer, tmp_path):
         got = float(line.split("\t")[1])
         assert got == pytest.approx(expected_logit(tiny_scorer, waves[p]),
                                     abs=2e-4)
+
+
+def test_socket_server_shutdown_drains_idle_client(tiny_scorer, tmp_path):
+    """Shutdown with a connected-but-idle client must (a) return promptly
+    — the reader used to block shutdown ~30 s per idle connection — and
+    (b) deliver every already-submitted reply first (drain, not abort)."""
+    name = str(tmp_path / "w.wav")
+    write_wav(name, 0.1 * np.ones(SR, np.float32), SR)
+    server = ScoringServer(tiny_scorer, port=0, batch=4,
+                           audio_config=AudioConfig(SR, 1), workers=2,
+                           max_wait_ms=5, log_fn=lambda m: None)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    with socket.create_connection(server.address, timeout=60) as s:
+        f = s.makefile("rw", encoding="utf-8", newline="\n")
+        f.write(f"q\t{name}\n")
+        f.flush()
+        time.sleep(0.8)  # let the reader ingest the request; stay idle
+        t0 = time.monotonic()
+        done = {}
+        st = threading.Thread(
+            target=lambda: done.__setitem__("stats", server.shutdown()))
+        st.start()
+        # the in-flight reply arrives even though shutdown started
+        reply = f.readline().rstrip()
+        assert reply.split("\t")[0] == "q"
+        assert float(reply.split("\t")[1]) == pytest.approx(
+            expected_logit(tiny_scorer, AudioLoader(
+                AudioConfig(SR, 1)).load(name)), abs=2e-4)
+        assert f.readline() == ""  # then EOF: connection drained closed
+        st.join(timeout=30)
+        assert "stats" in done and done["stats"]["clips"] == 1
+        assert time.monotonic() - t0 < 15.0  # no 30 s/idle-client stall
+    t.join(timeout=30)
+
+
+def test_cli_socket_flag_conflicts():
+    """--socket conflicts fail fast, BEFORE any scorer/checkpoint work."""
+    from wav2vec_contr_loss_tpu.cli import serve as serve_cli
+
+    for argv in (["--socket", "127.0.0.1:0", "--list", "x.txt"],
+                 ["--socket", "127.0.0.1:0", "--windowed", "mean"],
+                 ["--socket", "127.0.0.1:0", "--threshold", "0.5"],
+                 ["--socket", "no-port-here"]):
+        with pytest.raises(SystemExit):
+            serve_cli.main(argv)
 
 
 def test_socket_server_corrupt_path_zero_fallback(tiny_scorer, tmp_path):

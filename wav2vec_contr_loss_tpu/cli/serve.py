@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, Tuple
 
@@ -42,23 +41,13 @@ __all__ = ["score_paths", "score_paths_windowed", "main"]
 def _decoded(paths: Iterable[str], loader: AudioLoader, workers: int,
              lookahead: int) -> Iterator[Tuple[str, np.ndarray]]:
     """Yield (path, waveform) in input order, decoding with a thread pool
-    up to `lookahead` clips ahead of the consumer."""
+    up to `lookahead` clips ahead of the consumer (the generic ordered
+    iterator lives in eval/server.py; here tag == path, private pool)."""
+    from ..eval.server import decoded_tagged
+
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        pending: deque = deque()  # (path, future)
-        it = iter(paths)
-        exhausted = False
-        while True:
-            while not exhausted and len(pending) < lookahead:
-                try:
-                    p = next(it)
-                except StopIteration:
-                    exhausted = True
-                    break
-                pending.append((p, pool.submit(loader.load, p)))
-            if not pending:
-                return
-            p, fut = pending.popleft()
-            yield p, fut.result()
+        yield from decoded_tagged(((p, p) for p in paths), loader, pool,
+                                  lookahead)
 
 
 def _put_fn(wire: str, scorer=None):
@@ -238,6 +227,24 @@ def main(argv=None) -> None:
                    help="window hop for --windowed")
     args = p.parse_args(argv)
 
+    socket_addr = None
+    if args.socket is not None:
+        # validate BEFORE the (expensive) scorer build
+        if args.windowed != "none":
+            p.error("--windowed is not supported with --socket (windowed "
+                    "scoring needs whole-clip batching; use the stream mode)")
+        if args.threshold is not None:
+            p.error("--threshold applies to the stream mode; socket clients "
+                    "receive raw logits")
+        if args.list_file is not None:
+            p.error("--list applies to the stream mode; socket clients "
+                    "send their own path lists over the connection")
+        host, _, port = args.socket.rpartition(":")
+        try:
+            socket_addr = (host or "127.0.0.1", int(port))
+        except ValueError:
+            p.error(f"--socket expects HOST:PORT, got {args.socket!r}")
+
     if args.artifact is not None:
         # the serving signature is baked into the artifact; reject (not
         # silently override) any conflicting flag, like --quantize below
@@ -296,24 +303,13 @@ def main(argv=None) -> None:
             stage1_name=args.stage1_name, stage2_name=args.stage2_name,
             quantize=args.quantize)
 
-    if args.socket is not None:
-        if args.windowed != "none":
-            p.error("--windowed is not supported with --socket (windowed "
-                    "scoring needs whole-clip batching; use the stream mode)")
-        if args.threshold is not None:
-            p.error("--threshold applies to the stream mode; socket clients "
-                    "receive raw logits")
+    if socket_addr is not None:
         import signal
 
         from ..eval.server import ScoringServer
 
-        host, _, port = args.socket.rpartition(":")
-        try:
-            port_n = int(port)
-        except ValueError:
-            p.error(f"--socket expects HOST:PORT, got {args.socket!r}")
         server = ScoringServer(
-            scorer, host or "127.0.0.1", port_n, batch=batch,
+            scorer, socket_addr[0], socket_addr[1], batch=batch,
             audio_config=audio_cfg, workers=args.num_workers, wire=wire,
             max_wait_ms=args.max_wait_ms,
             log_fn=lambda m: print(m, file=sys.stderr))

@@ -25,6 +25,9 @@ Design notes (TPU-shaped):
 Line protocol (newline-delimited UTF-8, one request per line):
     <path>            -> response "<path>\t<logit>"
     <id>\t<path>      -> response "<id>\t<logit>"
+The FIRST tab splits id from path, so a bare-path request must not
+contain a tab — a path that might is sent tagged (`<id>\t<path>`),
+which is unambiguous because only the first tab splits.
 Higher logit == more bonafide-like (the reference's score-file
 convention, generate_eval_score_file.py:214). A corrupted/missing file
 follows the zero-waveform fallback contract (base_audio.py:21-34): it
@@ -44,7 +47,7 @@ import numpy as np
 
 from ..data.audio import AudioConfig, AudioLoader
 
-__all__ = ["DynamicBatcher", "ScoringServer"]
+__all__ = ["DynamicBatcher", "ScoringServer", "decoded_tagged"]
 
 _STOP = object()
 
@@ -70,11 +73,15 @@ class DynamicBatcher:
         self.batch = batch
         self.num_samples = num_samples
         self.max_wait = max_wait_ms / 1000.0
-        self._q: queue.Queue = queue.Queue()
+        # bounded: submit() blocks when decode outruns the device, so a
+        # streamed file list can never pile unbounded waveforms in RAM
+        # (the single-tenant path bounds its lookahead the same way)
+        self._q: queue.Queue = queue.Queue(maxsize=max(4 * batch, 16))
         self._resolve_q: queue.Queue = queue.Queue(maxsize=2)
         self.n_clips = 0
         self.n_batches = 0
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._collector = threading.Thread(target=self._collect,
                                            name="batcher-collect",
                                            daemon=True)
@@ -86,17 +93,26 @@ class DynamicBatcher:
 
     # -- client side ------------------------------------------------------
     def submit(self, wave: np.ndarray) -> Future:
-        """Queue one (T,) float32 clip; -> Future[float] logit."""
-        if self._closed:
-            raise RuntimeError("DynamicBatcher is closed")
+        """Queue one (T,) float32 clip; -> Future[float] logit. Blocks
+        when the request queue is full (backpressure on the submitter)."""
         fut: Future = Future()
-        self._q.put((np.asarray(wave, np.float32), fut))
+        # check+enqueue under one lock so a request can never land AFTER
+        # close()'s _STOP (which would strand its Future unresolved); a
+        # full-queue block holds the lock, but the collector keeps
+        # draining until it sees _STOP — which close() can only enqueue
+        # once this put completes and releases the lock — so it resolves
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._q.put((np.asarray(wave, np.float32), fut))
         return fut
 
     def close(self) -> Dict[str, float]:
         """Drain pending requests, stop the threads, return stats."""
-        if not self._closed:
+        with self._submit_lock:
+            already = self._closed
             self._closed = True
+        if not already:
             self._q.put(_STOP)
             self._collector.join()
             self._resolver.join()
@@ -139,9 +155,12 @@ class DynamicBatcher:
                 for f in futs:
                     f.set_exception(e)
             else:
-                self._resolve_q.put((logits, futs))
+                # counters BEFORE the hand-off: the resolver can wake a
+                # client the instant this put lands, and that client may
+                # read the stats
                 self.n_batches += 1
                 self.n_clips += len(futs)
+                self._resolve_q.put((logits, futs))
             if stop_after:
                 self._resolve_q.put(_STOP)
                 return
@@ -162,12 +181,13 @@ class DynamicBatcher:
                 f.set_result(float(host[i]))
 
 
-def _decoded_tagged(items: Iterable[Tuple[str, str]], loader: AudioLoader,
-                    pool: ThreadPoolExecutor,
-                    lookahead: int) -> Iterator[Tuple[str, np.ndarray]]:
+def decoded_tagged(items: Iterable[Tuple[str, str]], loader: AudioLoader,
+                   pool: ThreadPoolExecutor,
+                   lookahead: int) -> Iterator[Tuple[str, np.ndarray]]:
     """(tag, path) stream -> (tag, waveform) in order, decoding up to
-    `lookahead` ahead on the shared pool (cli.serve._decoded, with a
-    client-chosen tag carried through)."""
+    `lookahead` ahead on the caller's pool. The single generic ordered
+    lookahead-decode iterator: cli.serve's stream mode wraps it with
+    tag == path and a private pool."""
     from collections import deque
 
     pending: deque = deque()
@@ -217,7 +237,8 @@ class ScoringServer:
         self._sock = socket.create_server((host, port))
         self.address: Tuple[str, int] = self._sock.getsockname()[:2]
         self._shutdown = threading.Event()
-        self._conn_threads: list = []
+        self._conn_lock = threading.Lock()
+        self._conns: dict = {}  # thread -> socket, live connections only
 
     # -- lifecycle --------------------------------------------------------
     def serve_forever(self) -> None:
@@ -230,8 +251,9 @@ class ScoringServer:
                 break
             t = threading.Thread(target=self._handle, args=(conn, peer),
                                  daemon=True)
+            with self._conn_lock:
+                self._conns[t] = conn  # _handle removes itself when done
             t.start()
-            self._conn_threads.append(t)
 
     def request_stop(self) -> None:
         """Signal-handler-safe: stop the accept loop without joining
@@ -244,10 +266,27 @@ class ScoringServer:
             pass
 
     def shutdown(self) -> Dict[str, float]:
-        """Stop accepting, wait for live connections, close the batcher."""
+        """Stop accepting, DRAIN live connections, close the batcher.
+
+        Each live connection's read side is shut down so its reader sees
+        EOF and stops submitting (an idle client can otherwise block a
+        reader in readline forever), while its writer keeps delivering
+        every already-submitted reply — drain, not abort. Only after all
+        connection threads exit does the batcher close, so no reader can
+        race a submit against the batcher's _STOP."""
         self.request_stop()
-        for t in self._conn_threads:
-            t.join(timeout=30)
+        with self._conn_lock:
+            live = dict(self._conns)
+        for t, conn in live.items():
+            try:
+                conn.shutdown(socket.SHUT_RD)
+            except OSError:
+                pass  # already closed/reset
+        for t in live:
+            try:
+                t.join(timeout=60)
+            except RuntimeError:
+                pass  # registered but not yet started (accept-time race)
         stats = self.batcher.close()
         self.pool.shutdown(wait=False)
         self.log(f"[serve] done: {stats['clips']} clips in "
@@ -295,12 +334,14 @@ class ScoringServer:
                     tag, _, path = line.partition("\t")
                     yield (tag, path) if path else (line, line)
 
-            for tag, wave in _decoded_tagged(requests(), self.loader,
-                                             self.pool, self._lookahead):
+            for tag, wave in decoded_tagged(requests(), self.loader,
+                                            self.pool, self._lookahead):
                 out_q.put((tag, self.batcher.submit(wave)))
                 n += 1
         except (ConnectionResetError, OSError):
             pass
+        except RuntimeError:
+            pass  # batcher closed mid-read (shutdown abort path)
         finally:
             out_q.put(_STOP)
             wt.join()
@@ -308,5 +349,7 @@ class ScoringServer:
                 conn.close()
             except OSError:
                 pass
+            with self._conn_lock:
+                self._conns.pop(threading.current_thread(), None)
             self.log(f"[serve] {peer[0]}:{peer[1]} disconnected "
                      f"after {n} clips")
