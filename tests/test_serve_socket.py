@@ -203,6 +203,39 @@ def test_socket_server_two_concurrent_clients(tiny_scorer, tmp_path):
                                     abs=2e-4)
 
 
+def test_socket_server_interactive_client(tiny_scorer, tmp_path):
+    """Closed-loop (request -> wait for reply -> next request) clients
+    must be answered per request. Regression: a pull-lookahead decode
+    iterator in the connection handler head-of-line-blocked — it waited
+    for request K+1 before releasing clip K's wave, so an interactive
+    client hung forever on its first reply (caught by the socket bench's
+    closed-loop legs, r3)."""
+    name = str(tmp_path / "i.wav")
+    write_wav(name, 0.2 * np.ones(SR, np.float32), SR)
+    want = expected_logit(tiny_scorer,
+                          AudioLoader(AudioConfig(SR, 1)).load(name))
+    server = ScoringServer(tiny_scorer, port=0, batch=4,
+                           audio_config=AudioConfig(SR, 1), workers=4,
+                           max_wait_ms=5, log_fn=lambda m: None)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(server.address, timeout=60) as s:
+            # socket timeout (60 s) is the hang guard: readline raises
+            # instead of blocking the suite forever
+            f = s.makefile("rw", encoding="utf-8", newline="\n")
+            for k in range(3):  # never close the write side between them
+                f.write(f"k{k}\t{name}\n")
+                f.flush()
+                reply = f.readline().rstrip()
+                assert reply.split("\t")[0] == f"k{k}"
+                assert float(reply.split("\t")[1]) == pytest.approx(
+                    want, abs=2e-4)
+    finally:
+        server.shutdown()
+        t.join(timeout=30)
+
+
 def test_socket_server_shutdown_drains_idle_client(tiny_scorer, tmp_path):
     """Shutdown with a connected-but-idle client must (a) return promptly
     — the reader used to block shutdown ~30 s per idle connection — and

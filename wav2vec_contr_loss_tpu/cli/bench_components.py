@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import tempfile
 import time
 
@@ -269,15 +270,14 @@ def bench_extract(batch: int = 32, seconds: int = 5, n_batches: int = 40,
     }
 
 
-def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
-                  model: str = "xlsr", unroll: int = 1,
-                  quantize: str = "none") -> dict:
-    """End-to-end serving latency: waveform batch -> spoof logits through
-    the fused SpoofScorer graph (encoder + compression + pooling + head in
-    one jit — the reference's two-process .npy pipeline collapsed,
-    reference: extract_stage1_embeddings.py + generate_eval_score_file.py).
-    Host->device->host round trip included, as a deployment would see."""
+def _make_scorer(model: str, batch: int, seconds: int, unroll: int,
+                 quantize: str):
+    """Random-weights SpoofScorer at the requested architecture/batch —
+    the shared harness for the serving-shaped benches (the compiled
+    graph depends only on shapes/config, so the programs hit the same
+    persistent compile cache regardless of which bench builds them)."""
     import jax
+    import jax.numpy as jnp
 
     from ..config import Stage1Config, Stage2Config
     from ..eval.serving import SpoofScorer
@@ -311,11 +311,24 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
 
     cfg2 = Stage2Config()
     head = build_head(cfg2.head_type, cfg2.hidden_dim, cfg2.dropout)
-    import jax.numpy as jnp
     head_params = head.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, cfg.hidden_dim)))["params"]
-    scorer = SpoofScorer(trainer, state, cfg2, head_params,
-                         quantize=quantize)
+    return SpoofScorer(trainer, state, cfg2, head_params,
+                       quantize=quantize), cfg
+
+
+def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
+                  model: str = "xlsr", unroll: int = 1,
+                  quantize: str = "none") -> dict:
+    """End-to-end serving latency: waveform batch -> spoof logits through
+    the fused SpoofScorer graph (encoder + compression + pooling + head in
+    one jit — the reference's two-process .npy pipeline collapsed,
+    reference: extract_stage1_embeddings.py + generate_eval_score_file.py).
+    Host->device->host round trip included, as a deployment would see."""
+    import jax
+    import jax.numpy as jnp
+
+    scorer, cfg = _make_scorer(model, batch, seconds, unroll, quantize)
 
     rng = np.random.default_rng(0)
     t = seconds * cfg.target_sample_rate
@@ -365,11 +378,102 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
     }
 
 
+def bench_socket(batch: int = 8, seconds: int = 5, clients: int = 8,
+                 per_client: int = 25, model: str = "xlsr",
+                 unroll: int = 1, quantize: str = "none",
+                 max_wait_ms: float = 5.0) -> dict:
+    """Multi-client socket serving under closed-loop load (eval/server.py).
+
+    `clients` concurrent TCP clients each send one request and wait for
+    its reply before sending the next (closed loop), so the measured
+    per-request latency is a real user-visible number and the dynamic
+    micro-batcher sees `clients`-way concurrency to coalesce. Includes
+    decode (real WAV files on disk), H2D, compute, D2H, and the socket
+    hop. A second single-client leg isolates the no-coalescing latency
+    floor."""
+    import socket as socketlib
+    import threading
+
+    from ..data.audio import AudioConfig, write_wav
+    from ..eval.server import ScoringServer
+
+    scorer, cfg = _make_scorer(model, batch, seconds, unroll, quantize)
+    sr = cfg.target_sample_rate
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="socket_bench_")
+    paths = []
+    for i in range(16):
+        pth = os.path.join(tmp, f"clip_{i:02d}.wav")
+        write_wav(pth, rng.normal(0, 0.2, seconds * sr).astype(np.float32),
+                  sr)
+        paths.append(pth)
+
+    def run_leg(n_clients: int, n_reqs: int):
+        server = ScoringServer(
+            scorer, port=0, batch=batch,
+            audio_config=AudioConfig(sr, seconds), workers=max(8, n_clients),
+            max_wait_ms=max_wait_ms, log_fn=lambda m: None)
+        st = threading.Thread(target=server.serve_forever, daemon=True)
+        st.start()
+        lats: list = []
+        lock = threading.Lock()
+
+        def client(cid: int):
+            with socketlib.create_connection(server.address,
+                                             timeout=600) as s:
+                f = s.makefile("rw", encoding="utf-8", newline="\n")
+                mine = []
+                for k in range(n_reqs):
+                    t0 = time.perf_counter()
+                    f.write(f"{cid}-{k}\t{paths[(cid + k) % len(paths)]}\n")
+                    f.flush()
+                    reply = f.readline()
+                    mine.append((time.perf_counter() - t0) * 1e3)
+                    assert reply.startswith(f"{cid}-{k}\t"), reply
+                with lock:
+                    lats.extend(mine)
+
+        # warm-up request pays the compile outside the timed window
+        client(999)
+        lats.clear()
+        t0 = time.perf_counter()
+        ths = [threading.Thread(target=client, args=(c,))
+               for c in range(n_clients)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        wall = time.perf_counter() - t0
+        stats = server.shutdown()
+        st.join(timeout=30)
+        lat = np.sort(np.asarray(lats))
+        return {
+            "p50_ms": round(float(lat[len(lat) // 2]), 2),
+            "p95_ms": round(float(lat[int(len(lat) * 0.95)]), 2),
+            "clips_per_sec": round(n_clients * n_reqs / wall, 1),
+            "occupancy": stats["occupancy"],
+        }
+
+    multi = run_leg(clients, per_client)
+    single = run_leg(1, per_client)
+    return {
+        "socket_batch": batch,
+        "socket_quant": quantize,
+        "socket_clients": clients,
+        "socket_p50_ms": multi["p50_ms"],
+        "socket_p95_ms": multi["p95_ms"],
+        "socket_clips_per_sec": multi["clips_per_sec"],
+        "socket_occupancy": multi["occupancy"],
+        "socket_1client_p50_ms": single["p50_ms"],
+        "socket_1client_clips_per_sec": single["clips_per_sec"],
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--which", type=str, default="all",
                    choices=["all", "decode", "rawboost", "supcon", "serving",
-                            "extract"])
+                            "extract", "socket"])
     p.add_argument("--extract_batch", type=int, default=32)
     p.add_argument("--extract_seconds", type=int, default=5)
     p.add_argument("--serving_model", type=str, default="xlsr",
@@ -381,6 +485,10 @@ def main(argv=None) -> None:
     p.add_argument("--serving_quant", type=str, default="none",
                    choices=["none", "w8a8", "w8"],
                    help="int8 serving quantization (ops/quant.py)")
+    p.add_argument("--socket_clients", type=int, default=8,
+                   help="--which socket: concurrent closed-loop clients")
+    p.add_argument("--socket_per_client", type=int, default=25,
+                   help="--which socket: requests per client")
     args = p.parse_args(argv)
     from ..utils.compile_cache import enable_compile_cache
 
@@ -399,6 +507,14 @@ def main(argv=None) -> None:
                                      model=args.serving_model,
                                      unroll=args.serving_unroll,
                                      quantize=args.serving_quant))
+    if args.which == "socket":  # not in 'all': compiles a full encoder
+        results.update(bench_socket(batch=args.serving_batch,
+                                    seconds=args.serving_seconds,
+                                    clients=args.socket_clients,
+                                    per_client=args.socket_per_client,
+                                    model=args.serving_model,
+                                    unroll=args.serving_unroll,
+                                    quantize=args.serving_quant))
     if args.which == "extract":  # not in 'all': compiles a full encoder
         results.update(bench_extract(batch=args.extract_batch,
                                      seconds=args.extract_seconds,

@@ -185,9 +185,12 @@ def decoded_tagged(items: Iterable[Tuple[str, str]], loader: AudioLoader,
                    pool: ThreadPoolExecutor,
                    lookahead: int) -> Iterator[Tuple[str, np.ndarray]]:
     """(tag, path) stream -> (tag, waveform) in order, decoding up to
-    `lookahead` ahead on the caller's pool. The single generic ordered
-    lookahead-decode iterator: cli.serve's stream mode wraps it with
-    tag == path and a private pool."""
+    `lookahead` ahead on the caller's pool. cli.serve's stream mode
+    wraps this with tag == path and a private pool. PULL semantics: the
+    fill loop blocks on the input iterator, so the first wave is not
+    yielded until `lookahead` items (or EOF) arrived — right for a
+    piped file list, head-of-line-blocking for an interactive client,
+    which is why ScoringServer._handle uses push-style stages instead."""
     from collections import deque
 
     pending: deque = deque()
@@ -296,7 +299,40 @@ class ScoringServer:
 
     # -- per-connection ---------------------------------------------------
     def _handle(self, conn: socket.socket, peer) -> None:
+        """Three pipelined stages per connection, so an INTERACTIVE client
+        (send one request, wait for its reply, send the next) is answered
+        immediately while a STREAMING client still overlaps decode,
+        scoring, and reply:
+
+          reader    — parse lines, launch decode on the shared pool,
+                      hand (tag, decode_future) on; never blocks on a
+                      decode or a score, so request K is in flight the
+                      moment its line arrives (a pull-lookahead here
+                      would head-of-line-block: it would wait for line
+                      K+1 before releasing clip K's decoded wave);
+          submitter — in request order: wait the decode, submit to the
+                      shared batcher;
+          writer    — in request order: wait the logit, write the reply.
+
+        mid_q is bounded (decode-ahead memory); out_q holds only
+        (tag, Future) pairs.
+        """
+        mid_q: queue.Queue = queue.Queue(maxsize=self._lookahead)
         out_q: queue.Queue = queue.Queue()
+
+        def submitter():
+            while True:
+                entry = mid_q.get()
+                if entry is _STOP:
+                    out_q.put(_STOP)
+                    return
+                tag, dec_fut = entry
+                try:
+                    fut = self.batcher.submit(dec_fut.result())
+                except Exception as e:  # batcher closed / pool torn down
+                    fut = Future()
+                    fut.set_exception(e)
+                out_q.put((tag, fut))
 
         def writer():
             wfile = conn.makefile("w", encoding="utf-8", newline="\n")
@@ -320,30 +356,29 @@ class ScoringServer:
                 except OSError:
                     pass
 
+        st = threading.Thread(target=submitter, daemon=True)
         wt = threading.Thread(target=writer, daemon=True)
+        st.start()
         wt.start()
         n = 0
         try:
             rfile = conn.makefile("r", encoding="utf-8", newline="\n")
-
-            def requests():
-                for line in rfile:
-                    line = line.rstrip("\n").rstrip("\r")
-                    if not line:
-                        continue
-                    tag, _, path = line.partition("\t")
-                    yield (tag, path) if path else (line, line)
-
-            for tag, wave in decoded_tagged(requests(), self.loader,
-                                            self.pool, self._lookahead):
-                out_q.put((tag, self.batcher.submit(wave)))
+            for line in rfile:
+                line = line.rstrip("\n").rstrip("\r")
+                if not line:
+                    continue
+                tag, _, path = line.partition("\t")
+                if not path:
+                    tag = path = line
+                mid_q.put((tag, self.pool.submit(self.loader.load, path)))
                 n += 1
         except (ConnectionResetError, OSError):
             pass
         except RuntimeError:
-            pass  # batcher closed mid-read (shutdown abort path)
+            pass  # decode pool torn down mid-read (shutdown abort path)
         finally:
-            out_q.put(_STOP)
+            mid_q.put(_STOP)
+            st.join()
             wt.join()
             try:
                 conn.close()
