@@ -275,11 +275,45 @@ def test_cli_socket_flag_conflicts():
     from wav2vec_contr_loss_tpu.cli import serve as serve_cli
 
     for argv in (["--socket", "127.0.0.1:0", "--list", "x.txt"],
-                 ["--socket", "127.0.0.1:0", "--windowed", "mean"],
                  ["--socket", "127.0.0.1:0", "--threshold", "0.5"],
                  ["--socket", "no-port-here"]):
         with pytest.raises(SystemExit):
             serve_cli.main(argv)
+
+
+def test_socket_server_windowed_matches_score_long(tiny_scorer, tmp_path):
+    """--windowed over the socket: a long clip's overlapping windows ride
+    the shared batcher and the per-request aggregate equals
+    SpoofScorer.score_long_waveforms; short clips degenerate to plain."""
+    rng = np.random.default_rng(3)
+    short = (0.2 * rng.standard_normal(12000)).astype(np.float32)
+    long1 = (0.2 * rng.standard_normal(int(2.6 * SR))).astype(np.float32)
+    write_wav(tmp_path / "short.wav", short, SR)
+    write_wav(tmp_path / "long.wav", long1, SR)
+    loader = AudioLoader(AudioConfig(SR, None))  # full-length decode
+    dshort = loader.load(str(tmp_path / "short.wav"))
+    dlong = loader.load(str(tmp_path / "long.wav"))
+    want = tiny_scorer.score_long_waveforms([dshort, dlong],
+                                            hop_seconds=0.5, agg="min",
+                                            batch=4)
+
+    server = ScoringServer(tiny_scorer, port=0, batch=4,
+                           audio_config=AudioConfig(SR, 1), workers=2,
+                           max_wait_ms=10, windowed="min", hop_seconds=0.5,
+                           log_fn=lambda m: None)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        out = _client(server.address,
+                      [f"s\t{tmp_path / 'short.wav'}",
+                       f"l\t{tmp_path / 'long.wav'}"])
+        got = {line.split("\t")[0]: float(line.split("\t")[1])
+               for line in out}
+        assert got["s"] == pytest.approx(float(want[0]), abs=2e-4)
+        assert got["l"] == pytest.approx(float(want[1]), abs=2e-4)
+    finally:
+        server.shutdown()
+        t.join(timeout=30)
 
 
 def test_socket_server_corrupt_path_zero_fallback(tiny_scorer, tmp_path):

@@ -381,7 +381,7 @@ def bench_serving(batch: int = 8, seconds: int = 5, repeats: int = 30,
 def bench_socket(batch: int = 8, seconds: int = 5, clients: int = 8,
                  per_client: int = 25, model: str = "xlsr",
                  unroll: int = 1, quantize: str = "none",
-                 max_wait_ms: float = 5.0) -> dict:
+                 max_wait_ms: float = 5.0, wire: str = "float32") -> dict:
     """Multi-client socket serving under closed-loop load (eval/server.py).
 
     `clients` concurrent TCP clients each send one request and wait for
@@ -412,7 +412,7 @@ def bench_socket(batch: int = 8, seconds: int = 5, clients: int = 8,
         server = ScoringServer(
             scorer, port=0, batch=batch,
             audio_config=AudioConfig(sr, seconds), workers=max(8, n_clients),
-            max_wait_ms=max_wait_ms, log_fn=lambda m: None)
+            max_wait_ms=max_wait_ms, wire=wire, log_fn=lambda m: None)
         st = threading.Thread(target=server.serve_forever, daemon=True)
         st.start()
         lats: list = []
@@ -459,6 +459,7 @@ def bench_socket(batch: int = 8, seconds: int = 5, clients: int = 8,
     return {
         "socket_batch": batch,
         "socket_quant": quantize,
+        "socket_wire": wire,
         "socket_clients": clients,
         "socket_p50_ms": multi["p50_ms"],
         "socket_p95_ms": multi["p95_ms"],
@@ -489,6 +490,10 @@ def main(argv=None) -> None:
                    help="--which socket: concurrent closed-loop clients")
     p.add_argument("--socket_per_client", type=int, default=25,
                    help="--which socket: requests per client")
+    p.add_argument("--socket_wire", type=str, default="float32",
+                   choices=["float32", "int16"],
+                   help="--which socket: host->device waveform format "
+                        "(int16 halves the per-batch H2D bytes)")
     args = p.parse_args(argv)
     from ..utils.compile_cache import enable_compile_cache
 
@@ -514,7 +519,8 @@ def main(argv=None) -> None:
                                     per_client=args.socket_per_client,
                                     model=args.serving_model,
                                     unroll=args.serving_unroll,
-                                    quantize=args.serving_quant))
+                                    quantize=args.serving_quant,
+                                    wire=args.socket_wire))
     if args.which == "extract":  # not in 'all': compiles a full encoder
         results.update(bench_extract(batch=args.extract_batch,
                                      seconds=args.extract_seconds,

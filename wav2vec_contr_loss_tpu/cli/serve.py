@@ -230,9 +230,6 @@ def main(argv=None) -> None:
     socket_addr = None
     if args.socket is not None:
         # validate BEFORE the (expensive) scorer build
-        if args.windowed != "none":
-            p.error("--windowed is not supported with --socket (windowed "
-                    "scoring needs whole-clip batching; use the stream mode)")
         if args.threshold is not None:
             p.error("--threshold applies to the stream mode; socket clients "
                     "receive raw logits")
@@ -311,7 +308,8 @@ def main(argv=None) -> None:
         server = ScoringServer(
             scorer, socket_addr[0], socket_addr[1], batch=batch,
             audio_config=audio_cfg, workers=args.num_workers, wire=wire,
-            max_wait_ms=args.max_wait_ms,
+            max_wait_ms=args.max_wait_ms, windowed=args.windowed,
+            hop_seconds=args.hop_seconds,
             log_fn=lambda m: print(m, file=sys.stderr))
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, lambda *_: server.request_stop())

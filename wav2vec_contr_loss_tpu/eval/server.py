@@ -225,10 +225,30 @@ class ScoringServer:
                  audio_config: AudioConfig = AudioConfig(),
                  workers: int = 8, wire: str = "float32",
                  max_wait_ms: float = 5.0,
+                 windowed: str = "none", hop_seconds: float = 2.5,
                  log_fn: Callable[[str], None] = print):
+        """windowed: 'none' scores the first max_duration seconds (the
+        reference's pad-or-trim contract); 'mean'|'min'|'max'|'median'
+        scores each request's FULL clip as overlapping fixed-length
+        windows — every window is just one more batcher submit, so
+        windows from all clips and clients coalesce into the same static
+        device batches — aggregated per request on the host
+        (SpoofScorer.score_long_waveforms semantics)."""
         from ..cli.serve import _put_fn
+        from .serving import _WINDOW_AGG
 
-        self.loader = AudioLoader(audio_config)
+        if windowed == "none":
+            self.loader = AudioLoader(audio_config)
+            self._agg = None
+        else:
+            # full-length decode; the window length stays the scorer's
+            # static num_samples
+            self.loader = AudioLoader(AudioConfig(
+                audio_config.target_sample_rate, None))
+            self._agg = _WINDOW_AGG[windowed]
+        self._win_samples = audio_config.num_samples
+        self._hop = max(1, int(hop_seconds
+                               * audio_config.target_sample_rate))
         put = _put_fn(wire, scorer)
         self.batcher = DynamicBatcher(
             scorer._score, batch, audio_config.num_samples,
@@ -321,6 +341,8 @@ class ScoringServer:
         out_q: queue.Queue = queue.Queue()
 
         def submitter():
+            from .serving import window_waveform
+
             while True:
                 entry = mid_q.get()
                 if entry is _STOP:
@@ -328,11 +350,19 @@ class ScoringServer:
                     return
                 tag, dec_fut = entry
                 try:
-                    fut = self.batcher.submit(dec_fut.result())
+                    wave = dec_fut.result()
+                    if self._agg is None:
+                        futs = [self.batcher.submit(wave)]
+                    else:  # one submit per window; shared-batch coalescing
+                        wins = window_waveform(
+                            np.asarray(wave, np.float32),
+                            self._win_samples, self._hop)
+                        futs = [self.batcher.submit(w) for w in wins]
                 except Exception as e:  # batcher closed / pool torn down
-                    fut = Future()
-                    fut.set_exception(e)
-                out_q.put((tag, fut))
+                    f = Future()
+                    f.set_exception(e)
+                    futs = [f]
+                out_q.put((tag, futs))
 
         def writer():
             wfile = conn.makefile("w", encoding="utf-8", newline="\n")
@@ -341,9 +371,11 @@ class ScoringServer:
                     entry = out_q.get()
                     if entry is _STOP:
                         return
-                    tag, fut = entry
+                    tag, futs = entry
                     try:
-                        logit = fut.result()
+                        vals = [f.result() for f in futs]
+                        logit = (vals[0] if self._agg is None
+                                 else float(self._agg(vals)))
                         wfile.write(f"{tag}\t{logit:.6f}\n")
                     except Exception as e:
                         wfile.write(f"{tag}\tERROR {type(e).__name__}\n")
