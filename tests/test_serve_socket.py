@@ -315,6 +315,24 @@ def test_socket_server_windowed_matches_score_long(tiny_scorer, tmp_path):
         server.shutdown()
         t.join(timeout=30)
 
+    # max_clip_seconds caps a request's windowed length (clients name the
+    # files, so the cap bounds host memory per request): capped at the
+    # 1 s window length, the 2.6 s clip degenerates to plain first-window
+    # scoring
+    capped = ScoringServer(tiny_scorer, port=0, batch=4,
+                           audio_config=AudioConfig(SR, 1), workers=2,
+                           max_wait_ms=10, windowed="min", hop_seconds=0.5,
+                           max_clip_seconds=1.0, log_fn=lambda m: None)
+    t2 = threading.Thread(target=capped.serve_forever, daemon=True)
+    t2.start()
+    try:
+        (line,) = _client(capped.address, [f"l\t{tmp_path / 'long.wav'}"])
+        assert float(line.split("\t")[1]) == pytest.approx(
+            expected_logit(tiny_scorer, dlong[:SR]), abs=2e-4)
+    finally:
+        capped.shutdown()
+        t2.join(timeout=30)
+
 
 def test_socket_server_corrupt_path_zero_fallback(tiny_scorer, tmp_path):
     server = ScoringServer(tiny_scorer, port=0, batch=2,

@@ -400,7 +400,8 @@ def bench_socket(batch: int = 8, seconds: int = 5, clients: int = 8,
     scorer, cfg = _make_scorer(model, batch, seconds, unroll, quantize)
     sr = cfg.target_sample_rate
     rng = np.random.default_rng(0)
-    tmp = tempfile.mkdtemp(prefix="socket_bench_")
+    tmp_ctx = tempfile.TemporaryDirectory(prefix="socket_bench_")
+    tmp = tmp_ctx.name
     paths = []
     for i in range(16):
         pth = os.path.join(tmp, f"clip_{i:02d}.wav")
@@ -416,28 +417,41 @@ def bench_socket(batch: int = 8, seconds: int = 5, clients: int = 8,
         st = threading.Thread(target=server.serve_forever, daemon=True)
         st.start()
         lats: list = []
+        errors: list = []
         lock = threading.Lock()
 
-        def client(cid: int):
-            with socketlib.create_connection(server.address,
-                                             timeout=600) as s:
-                f = s.makefile("rw", encoding="utf-8", newline="\n")
-                mine = []
-                for k in range(n_reqs):
-                    t0 = time.perf_counter()
-                    f.write(f"{cid}-{k}\t{paths[(cid + k) % len(paths)]}\n")
-                    f.flush()
-                    reply = f.readline()
-                    mine.append((time.perf_counter() - t0) * 1e3)
-                    assert reply.startswith(f"{cid}-{k}\t"), reply
+        def client(cid: int, reqs: int):
+            try:
+                with socketlib.create_connection(server.address,
+                                                 timeout=600) as s:
+                    f = s.makefile("rw", encoding="utf-8", newline="\n")
+                    mine = []
+                    for k in range(reqs):
+                        t0 = time.perf_counter()
+                        f.write(f"{cid}-{k}\t"
+                                f"{paths[(cid + k) % len(paths)]}\n")
+                        f.flush()
+                        reply = f.readline()
+                        mine.append((time.perf_counter() - t0) * 1e3)
+                        if (not reply.startswith(f"{cid}-{k}\t")
+                                or "\tERROR" in reply):
+                            raise RuntimeError(f"bad reply: {reply!r}")
                 with lock:
                     lats.extend(mine)
+            except Exception as e:  # surface, don't silently under-count
+                with lock:
+                    errors.append(e)
 
-        # warm-up request pays the compile outside the timed window
-        client(999)
+        # ONE warm-up request pays the compile outside the timed window
+        client(999, 1)
+        if errors:
+            raise RuntimeError("socket bench warm-up failed") from errors[0]
         lats.clear()
+        # occupancy over the timed window only (exclude the warm-up batch)
+        base_clips = server.batcher.n_clips
+        base_batches = server.batcher.n_batches
         t0 = time.perf_counter()
-        ths = [threading.Thread(target=client, args=(c,))
+        ths = [threading.Thread(target=client, args=(c, n_reqs))
                for c in range(n_clients)]
         for t in ths:
             t.start()
@@ -446,16 +460,26 @@ def bench_socket(batch: int = 8, seconds: int = 5, clients: int = 8,
         wall = time.perf_counter() - t0
         stats = server.shutdown()
         st.join(timeout=30)
+        if errors:
+            raise RuntimeError(
+                f"{len(errors)} bench client(s) failed") from errors[0]
+        n_done = len(lats)
+        if n_done != n_clients * n_reqs:
+            raise RuntimeError(f"expected {n_clients * n_reqs} replies, "
+                               f"got {n_done}")
+        timed_clips = stats["clips"] - base_clips
+        timed_batches = max(1, stats["batches"] - base_batches)
         lat = np.sort(np.asarray(lats))
         return {
             "p50_ms": round(float(lat[len(lat) // 2]), 2),
             "p95_ms": round(float(lat[int(len(lat) * 0.95)]), 2),
-            "clips_per_sec": round(n_clients * n_reqs / wall, 1),
-            "occupancy": stats["occupancy"],
+            "clips_per_sec": round(n_done / wall, 1),
+            "occupancy": round(timed_clips / (timed_batches * batch), 3),
         }
 
-    multi = run_leg(clients, per_client)
-    single = run_leg(1, per_client)
+    with tmp_ctx:
+        multi = run_leg(clients, per_client)
+        single = run_leg(1, per_client)
     return {
         "socket_batch": batch,
         "socket_quant": quantize,

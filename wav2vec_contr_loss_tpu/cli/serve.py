@@ -225,6 +225,10 @@ def main(argv=None) -> None:
                         "max_duration_seconds like the reference")
     p.add_argument("--hop_seconds", type=float, default=2.5,
                    help="window hop for --windowed")
+    p.add_argument("--max_clip_seconds", type=float, default=600.0,
+                   help="--socket --windowed: per-request clip-length cap "
+                        "(clients name the files; the cap bounds the host "
+                        "memory one request can pin)")
     args = p.parse_args(argv)
 
     socket_addr = None
@@ -310,6 +314,7 @@ def main(argv=None) -> None:
             audio_config=audio_cfg, workers=args.num_workers, wire=wire,
             max_wait_ms=args.max_wait_ms, windowed=args.windowed,
             hop_seconds=args.hop_seconds,
+            max_clip_seconds=args.max_clip_seconds,
             log_fn=lambda m: print(m, file=sys.stderr))
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, lambda *_: server.request_stop())

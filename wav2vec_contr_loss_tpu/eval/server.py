@@ -226,6 +226,7 @@ class ScoringServer:
                  workers: int = 8, wire: str = "float32",
                  max_wait_ms: float = 5.0,
                  windowed: str = "none", hop_seconds: float = 2.5,
+                 max_clip_seconds: float = 600.0,
                  log_fn: Callable[[str], None] = print):
         """windowed: 'none' scores the first max_duration seconds (the
         reference's pad-or-trim contract); 'mean'|'min'|'max'|'median'
@@ -233,7 +234,15 @@ class ScoringServer:
         windows — every window is just one more batcher submit, so
         windows from all clips and clients coalesce into the same static
         device batches — aggregated per request on the host
-        (SpoofScorer.score_long_waveforms semantics)."""
+        (SpoofScorer.score_long_waveforms semantics).
+
+        max_clip_seconds caps the windowed length per request (default
+        10 min): clients name the files, so without a cap one request
+        for a multi-hour recording would hold its full waveform and all
+        its windows in host RAM. The cap truncates after decode —
+        bounding window count, batcher work, and retained buffers — but
+        the decode itself still reads the whole file once (decoder-level
+        early-exit would need a native-decoder cap)."""
         from ..cli.serve import _put_fn
         from .serving import _WINDOW_AGG
 
@@ -249,6 +258,9 @@ class ScoringServer:
         self._win_samples = audio_config.num_samples
         self._hop = max(1, int(hop_seconds
                                * audio_config.target_sample_rate))
+        self._cap_samples = max(
+            self._win_samples,
+            int(max_clip_seconds * audio_config.target_sample_rate))
         put = _put_fn(wire, scorer)
         self.batcher = DynamicBatcher(
             scorer._score, batch, audio_config.num_samples,
@@ -355,7 +367,8 @@ class ScoringServer:
                         futs = [self.batcher.submit(wave)]
                     else:  # one submit per window; shared-batch coalescing
                         wins = window_waveform(
-                            np.asarray(wave, np.float32),
+                            np.asarray(wave[: self._cap_samples],
+                                       np.float32),
                             self._win_samples, self._hop)
                         futs = [self.batcher.submit(w) for w in wins]
                 except Exception as e:  # batcher closed / pool torn down
