@@ -65,6 +65,24 @@ def test_corrupted_file_fallback(tmp_path):
     AudioLoader.print_summary()
 
 
+def test_corrupted_file_fallback_survives_broken_stderr(tmp_path, monkeypatch):
+    """A daemonized server whose stderr pipe died (parent logger gone) must
+    keep the zero-fallback contract: the WARNING print raising
+    BrokenPipeError must not escape AudioLoader.load."""
+    import sys as _sys
+
+    class _Broken:
+        def write(self, *_a):
+            raise BrokenPipeError("stderr reader went away")
+
+        def flush(self):
+            raise BrokenPipeError("stderr reader went away")
+
+    monkeypatch.setattr(_sys, "stderr", _Broken())
+    out = AudioLoader(AudioConfig(16000, 1)).load(tmp_path / "missing.wav")
+    assert out.shape == (16000,) and np.all(out == 0)
+
+
 # ------------------------------------------------------------- protocols
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

@@ -351,3 +351,55 @@ def test_socket_server_corrupt_path_zero_fallback(tiny_scorer, tmp_path):
     finally:
         server.shutdown()
         t.join(timeout=30)
+
+
+def test_socket_server_hostile_input(tiny_scorer, tmp_path):
+    """Protocol hardening: non-UTF-8 bytes score as silence (unloadable
+    path -> zero fallback), a newline-less line past the 64 KiB cap drops
+    that connection instead of buffering unbounded, and a client that
+    disconnects without reading its reply poisons nothing — a legit
+    client is served correctly afterwards."""
+    server = ScoringServer(tiny_scorer, port=0, batch=2,
+                           audio_config=AudioConfig(SR, 1), workers=2,
+                           max_wait_ms=5, log_fn=lambda m: None)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        zero_logit = expected_logit(tiny_scorer, np.zeros(SR, np.float32))
+        # (1) binary junk on the wire: errors='replace' turns it into an
+        # unloadable path, scored as silence — no UnicodeDecodeError
+        with socket.create_connection(server.address, timeout=60) as s:
+            s.sendall(b"junk\t\xff\xfe\x80bad\n")
+            s.shutdown(socket.SHUT_WR)
+            reply = s.makefile("r", encoding="utf-8",
+                               errors="replace").readline()
+        assert reply.startswith("junk\t")
+        assert float(reply.split("\t")[1]) == pytest.approx(zero_logit,
+                                                            abs=2e-4)
+        # (2) an endless line (no newline) is a protocol violation: the
+        # server closes the connection instead of buffering it unbounded
+        with socket.create_connection(server.address, timeout=60) as s:
+            try:
+                s.sendall(b"a" * (80 * 1024))
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # server already dropped us mid-send
+            try:
+                got = s.recv(1)
+            except (ConnectionResetError, OSError):
+                got = b""
+            assert got == b""  # EOF, no reply
+        # (3) disconnect without reading the pending reply
+        with socket.create_connection(server.address, timeout=60) as s:
+            s.sendall(b"gone\t/nonexistent.wav\n")
+        # (4) the server still serves a legit client correctly
+        w = (0.3 * np.random.default_rng(3).standard_normal(SR)).astype(
+            np.float32)
+        p = tmp_path / "ok.wav"
+        write_wav(p, w, SR)
+        dec = AudioLoader(AudioConfig(SR, 1)).load(str(p))
+        (line,) = _client(server.address, [f"ok\t{p}"])
+        assert float(line.split("\t")[1]) == pytest.approx(
+            expected_logit(tiny_scorer, dec), abs=2e-4)
+    finally:
+        server.shutdown()
+        t.join(timeout=30)

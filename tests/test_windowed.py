@@ -126,3 +126,16 @@ def test_cli_serve_windowed(tmp_path, capsys, tiny_scorer):
     want = scorer.score_long_waveforms(decoded, hop_seconds=0.5, agg="mean",
                                        batch=4)
     np.testing.assert_allclose([lg for _, lg in got], want, atol=1e-5)
+
+    # max_clip_seconds caps the windowed length per clip (bounds the host
+    # RAM a pathological multi-hour file could pin): capped at the 1 s
+    # window, every clip degenerates to plain first-window scoring
+    got_cap = list(score_paths_windowed(scorer, paths, batch=4,
+                                        audio_config=AudioConfig(SR, 1),
+                                        hop_seconds=0.5, agg="mean",
+                                        max_clip_seconds=1.0))
+    want_cap = scorer.score_long_waveforms([d[:SR] for d in decoded],
+                                           hop_seconds=0.5, agg="mean",
+                                           batch=4)
+    np.testing.assert_allclose([lg for _, lg in got_cap], want_cap,
+                               atol=1e-5)

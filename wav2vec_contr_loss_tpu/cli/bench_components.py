@@ -400,6 +400,13 @@ def bench_socket(batch: int = 8, seconds: int = 5, clients: int = 8,
     scorer, cfg = _make_scorer(model, batch, seconds, unroll, quantize)
     sr = cfg.target_sample_rate
     rng = np.random.default_rng(0)
+    # Pay the compile OUTSIDE any socket timeout: a cold-cache compile on
+    # the axon remote-compile service runs 10-45 min, far past the bench
+    # clients' 600 s recv timeout. This direct call compiles the exact
+    # (batch, T) graph the batcher dispatches, so the in-band warm-up
+    # request only pays dispatch.
+    _ = scorer.score_waveforms(
+        np.zeros((batch, seconds * sr), np.float32), wire=wire)
     tmp_ctx = tempfile.TemporaryDirectory(prefix="socket_bench_")
     tmp = tmp_ctx.name
     paths = []
@@ -442,24 +449,32 @@ def bench_socket(batch: int = 8, seconds: int = 5, clients: int = 8,
                 with lock:
                     errors.append(e)
 
-        # ONE warm-up request pays the compile outside the timed window
-        client(999, 1)
-        if errors:
-            raise RuntimeError("socket bench warm-up failed") from errors[0]
-        lats.clear()
-        # occupancy over the timed window only (exclude the warm-up batch)
-        base_clips = server.batcher.n_clips
-        base_batches = server.batcher.n_batches
-        t0 = time.perf_counter()
-        ths = [threading.Thread(target=client, args=(c, n_reqs))
-               for c in range(n_clients)]
-        for t in ths:
-            t.start()
-        for t in ths:
-            t.join()
-        wall = time.perf_counter() - t0
-        stats = server.shutdown()
-        st.join(timeout=30)
+        stats = None
+        try:
+            # ONE in-band warm-up request (compile already paid above by
+            # the direct scorer call) kept outside the timed window
+            client(999, 1)
+            if errors:
+                raise RuntimeError(
+                    "socket bench warm-up failed") from errors[0]
+            lats.clear()
+            # occupancy over the timed window only (exclude warm-up)
+            base_clips = server.batcher.n_clips
+            base_batches = server.batcher.n_batches
+            t0 = time.perf_counter()
+            ths = [threading.Thread(target=client, args=(c, n_reqs))
+                   for c in range(n_clients)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            wall = time.perf_counter() - t0
+            stats = server.shutdown()
+            st.join(timeout=30)
+        finally:
+            if stats is None:  # failed before shutdown: don't leak threads
+                server.shutdown()
+                st.join(timeout=30)
         if errors:
             raise RuntimeError(
                 f"{len(errors)} bench client(s) failed") from errors[0]
@@ -518,6 +533,9 @@ def main(argv=None) -> None:
                    choices=["float32", "int16"],
                    help="--which socket: host->device waveform format "
                         "(int16 halves the per-batch H2D bytes)")
+    p.add_argument("--socket_max_wait_ms", type=float, default=5.0,
+                   help="--which socket: batcher dispatch wait bound — "
+                        "the latency/occupancy trade-off knob")
     args = p.parse_args(argv)
     from ..utils.compile_cache import enable_compile_cache
 
@@ -544,6 +562,7 @@ def main(argv=None) -> None:
                                     model=args.serving_model,
                                     unroll=args.serving_unroll,
                                     quantize=args.serving_quant,
+                                    max_wait_ms=args.socket_max_wait_ms,
                                     wire=args.socket_wire))
     if args.which == "extract":  # not in 'all': compiles a full encoder
         results.update(bench_extract(batch=args.extract_batch,

@@ -112,19 +112,24 @@ def score_paths(scorer, paths: Iterable[str], batch: int = 8,
 def score_paths_windowed(scorer, paths: Iterable[str], batch: int = 8,
                          audio_config: AudioConfig = AudioConfig(),
                          workers: int = 8, wire: str = "float32",
-                         hop_seconds: float = 2.5,
-                         agg: str = "mean") -> Iterator[Tuple[str, float]]:
+                         hop_seconds: float = 2.5, agg: str = "mean",
+                         max_clip_seconds: float = 600.0,
+                         ) -> Iterator[Tuple[str, float]]:
     """Yield (path, logit) in input order, scoring each clip's FULL length
     via overlapping fixed-length windows (the reference throws away
     everything past the first 5 s — base_audio.py:39-45). Windows from
     consecutive clips are packed together so every device batch keeps the
     static (batch, T) shape: one compiled graph serves any mix of clip
-    lengths. Aggregation semantics: SpoofScorer.score_long_waveforms."""
+    lengths. Aggregation semantics: SpoofScorer.score_long_waveforms.
+    `max_clip_seconds` (default 10 min) caps the windowed length per clip,
+    bounding the host RAM one pathological multi-hour file can pin —
+    same contract as ScoringServer's cap."""
     from ..data.pipeline import stream_through_device
     from ..eval.serving import _WINDOW_AGG, window_waveform
 
     t = audio_config.num_samples
     hop = max(1, int(hop_seconds * audio_config.target_sample_rate))
+    cap = max(t, int(max_clip_seconds * audio_config.target_sample_rate))
     # decode at full length; corrupted files still fall back to zeros
     full_loader = AudioLoader(AudioConfig(audio_config.target_sample_rate,
                                           None))
@@ -139,7 +144,7 @@ def score_paths_windowed(scorer, paths: Iterable[str], batch: int = 8,
         buf_ids, buf_rows = [], []
         for pid, (p, wave) in enumerate(
                 _decoded(paths, full_loader, workers, max(2, workers))):
-            wins = window_waveform(wave, t, hop)
+            wins = window_waveform(wave[:cap], t, hop)
             clips[pid] = [p, wins.shape[0], []]
             buf_ids.extend([pid] * wins.shape[0])
             buf_rows.extend(wins)
@@ -226,9 +231,9 @@ def main(argv=None) -> None:
     p.add_argument("--hop_seconds", type=float, default=2.5,
                    help="window hop for --windowed")
     p.add_argument("--max_clip_seconds", type=float, default=600.0,
-                   help="--socket --windowed: per-request clip-length cap "
-                        "(clients name the files; the cap bounds the host "
-                        "memory one request can pin)")
+                   help="--windowed (both modes): per-clip windowed-length "
+                        "cap, bounding the host memory one clip/request "
+                        "can pin")
     args = p.parse_args(argv)
 
     socket_addr = None
@@ -309,13 +314,21 @@ def main(argv=None) -> None:
 
         from ..eval.server import ScoringServer
 
+        def _log(m):
+            # a daemon whose stderr reader died (orphaned pipe) must keep
+            # serving and shut down rc=0 — logging is best-effort
+            try:
+                print(m, file=sys.stderr)
+            except OSError:
+                pass
+
         server = ScoringServer(
             scorer, socket_addr[0], socket_addr[1], batch=batch,
             audio_config=audio_cfg, workers=args.num_workers, wire=wire,
             max_wait_ms=args.max_wait_ms, windowed=args.windowed,
             hop_seconds=args.hop_seconds,
             max_clip_seconds=args.max_clip_seconds,
-            log_fn=lambda m: print(m, file=sys.stderr))
+            log_fn=_log)
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, lambda *_: server.request_stop())
         server.serve_forever()
@@ -328,7 +341,8 @@ def main(argv=None) -> None:
         scored = score_paths_windowed(
             scorer, paths, batch=batch, audio_config=audio_cfg,
             workers=args.num_workers, wire=wire,
-            hop_seconds=args.hop_seconds, agg=args.windowed)
+            hop_seconds=args.hop_seconds, agg=args.windowed,
+            max_clip_seconds=args.max_clip_seconds)
     else:
         scored = score_paths(scorer, paths, batch=batch,
                              audio_config=audio_cfg,

@@ -240,9 +240,15 @@ class AudioLoader:
             with AudioLoader._count_lock:
                 AudioLoader.loaded_count += 1
         except Exception as e:
-            # stderr: stdout may be a machine-readable stream (cli.serve)
-            print(f"[WARNING] Corrupted file: {path}. Error: {e}",
-                  file=sys.stderr)
+            try:
+                # stderr: stdout may be a machine-readable stream
+                # (cli.serve)
+                print(f"[WARNING] Corrupted file: {path}. Error: {e}",
+                      file=sys.stderr)
+            except OSError:
+                # a daemonized server whose stderr pipe died must NOT
+                # lose the zero-fallback contract over a log line
+                pass
             with AudioLoader._count_lock:
                 AudioLoader.failed_count += 1
             return np.zeros(cfg.num_samples, dtype=np.float32)

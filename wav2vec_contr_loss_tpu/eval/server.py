@@ -51,6 +51,11 @@ __all__ = ["DynamicBatcher", "ScoringServer", "decoded_tagged"]
 
 _STOP = object()
 
+# Per-request line cap (tag + tab + filesystem path fits in a fraction of
+# this). A line that hits the cap without a newline is a protocol
+# violation; the connection is dropped instead of buffering it unbounded.
+_MAX_LINE = 64 * 1024
+
 
 class DynamicBatcher:
     """Coalesce concurrent single-clip requests into static device batches.
@@ -407,8 +412,22 @@ class ScoringServer:
         wt.start()
         n = 0
         try:
-            rfile = conn.makefile("r", encoding="utf-8", newline="\n")
-            for line in rfile:
+            # errors='replace': a client shoving non-UTF-8 bytes gets its
+            # garbage treated as an unloadable path (scored as silence per
+            # the fallback contract) instead of killing the reader with
+            # UnicodeDecodeError. readline(cap): an endless line with no
+            # newline is a protocol violation — drop the connection rather
+            # than buffer it without bound.
+            rfile = conn.makefile("r", encoding="utf-8", errors="replace",
+                                  newline="\n")
+            while True:
+                line = rfile.readline(_MAX_LINE)
+                if not line:
+                    break
+                if len(line) >= _MAX_LINE and not line.endswith("\n"):
+                    self.log(f"[serve] {peer[0]}:{peer[1]}: request line "
+                             f"exceeds {_MAX_LINE} bytes; closing")
+                    break
                 line = line.rstrip("\n").rstrip("\r")
                 if not line:
                     continue
