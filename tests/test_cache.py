@@ -102,6 +102,53 @@ def test_unknown_path_falls_back_to_decode(corpus, tmp_path):
     assert w.shape == (SR,) and w.any()
 
 
+def test_rebuild_crash_between_replaces_invalidates(corpus, tmp_path,
+                                                    monkeypatch):
+    """A rebuild killed between the data swap and the manifest write must
+    leave NO valid manifest: the old manifest paired with the new rows
+    would silently serve the wrong audio (review r3 finding)."""
+    from wav2vec_contr_loss_tpu.data import cache as cache_mod
+
+    cdir = str(tmp_path / "cache")
+    ds = make_ds(corpus)
+    attach_cache(ds, cdir)  # initial build: valid manifest on disk
+
+    ds3 = parse_asvspoof2019(str(corpus / "protocol.txt"), str(corpus),
+                             num_samples=4, audio=AudioConfig(SR, 2))
+    real_replace = os.replace
+
+    def crash_after_data_swap(src, dst):
+        real_replace(src, dst)
+        if dst.endswith("waveforms.npy"):
+            raise RuntimeError("simulated crash after data swap")
+
+    monkeypatch.setattr(cache_mod.os, "replace", crash_after_data_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_cache(ds3, cdir, dtype="int16")
+    monkeypatch.undo()
+    # the stale manifest must be GONE, so the original corpus rebuilds
+    # instead of reading ds3's rows through its old manifest
+    assert not os.path.exists(os.path.join(cdir, "cache_manifest.json"))
+    ds4 = make_ds(corpus)
+    assert attach_cache(ds4, cdir) is True
+    ref = make_ds(corpus)
+    for u in ds4.utterances:
+        assert np.array_equal(ds4.loader.load(u.path), ref.loader.load(u.path))
+
+
+def test_cache_hits_keep_loader_accounting(corpus, tmp_path):
+    """Cache-row reads count as successful loads (print_summary /
+    cli.serve's 'decode ok=' line must not read 0 under a cache)."""
+    from wav2vec_contr_loss_tpu.data.audio import AudioLoader
+
+    ds = make_ds(corpus)
+    attach_cache(ds, str(tmp_path / "cache"))
+    AudioLoader.reset_counters()
+    for u in ds.utterances:
+        ds.loader.load(u.path)
+    assert AudioLoader.loaded_count == len(ds.utterances)
+
+
 def test_variable_length_rejected(corpus):
     ds = parse_asvspoof2019(str(corpus / "protocol.txt"), str(corpus),
                             num_samples=None, audio=AudioConfig(SR, None))

@@ -279,6 +279,39 @@ def test_prefetch_to_device_order_and_errors():
         list(it)
 
 
+def test_prefetch_to_device_abandonment_stops_producer():
+    """A consumer that BREAKS (the preemption path in fit) must not leak
+    the producer thread blocked on its full queue, the upstream iterator,
+    or the prefetched batches (review r3 finding)."""
+    import gc
+    import threading
+    import time
+
+    produced = []
+    closed = []
+
+    def source():
+        try:
+            for i in range(1000):
+                produced.append(i)
+                yield i
+        finally:
+            closed.append(True)  # upstream generator gets closed too
+
+    before = threading.active_count()
+    it = prefetch_to_device(source(), lambda x: x, depth=2)
+    assert next(it) == 0
+    it.close()  # what a `break` in a for-loop does on gc
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    del it
+    gc.collect()  # drops the last ref to source() -> its finally runs
+    assert closed == [True], "upstream iterator never closed"
+    assert len(produced) < 1000, "producer ran the whole stream anyway"
+
+
 def test_stream_through_device_overlap_semantics():
     """Order preserved, every batch paired with its own result, tuple
     results fetched leaf-wise, producer errors surfaced (round-3: the

@@ -158,6 +158,26 @@ def test_serve_from_artifact(tmp_path, capsys, tiny_scorer):
                                want, atol=1e-5)
 
 
+def test_export_cli_platforms_fail_fast(tmp_path):
+    """Malformed --platforms is rejected by argparse BEFORE the expensive
+    checkpoint load; spaces and trailing commas are tolerated."""
+    from wav2vec_contr_loss_tpu.cli import export_serving
+
+    for bad in ("tpu,warp", "", ","):
+        with pytest.raises(SystemExit):
+            export_serving.main([
+                "--stage1_dir", "/nonexistent", "--stage2_dir",
+                "/nonexistent", "--out", str(tmp_path / "x"),
+                "--platforms", bad])
+    # 'tpu, cpu' must NOT die in argparse (it proceeds to the checkpoint
+    # load, which fails on the bogus dir — proving parsing accepted it)
+    with pytest.raises((FileNotFoundError, ValueError, OSError)):
+        export_serving.main([
+            "--stage1_dir", str(tmp_path / "missing"), "--stage2_dir",
+            str(tmp_path / "missing"), "--out", str(tmp_path / "x"),
+            "--platforms", "tpu, cpu,"])
+
+
 def test_export_cli(tmp_path):
     """CLI writes a loadable artifact from real checkpoints."""
     import jax

@@ -119,6 +119,23 @@ def test_guard_sigterm_sets_flag_and_restores_handler():
         signal.signal(signal.SIGTERM, prev)
 
 
+def test_guard_double_install_restores_original_handler():
+    """install() then `with guard:` must still restore the ORIGINAL
+    handler on exit — a second install recording the guard's own handler
+    as 'previous' would leak it permanently (review r3 finding)."""
+    sentinel = []
+    prev = signal.signal(signal.SIGTERM, lambda *a: sentinel.append(1))
+    try:
+        guard = PreemptionGuard().install()
+        with guard:
+            pass
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert sentinel == [1]  # original handler, not the guard's
+        assert not guard.requested()
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
 def test_guard_mark_is_programmatic_request():
     guard = PreemptionGuard()
     assert not guard.requested(step=1)

@@ -144,7 +144,7 @@ def expected_logit(scorer, wave):
 
 def _client(addr, lines):
     """Send all lines, then read one reply per line (ordered)."""
-    with socket.create_connection(addr, timeout=60) as s:
+    with socket.create_connection(addr, timeout=300) as s:
         f = s.makefile("rw", encoding="utf-8", newline="\n")
         for line in lines:
             f.write(line + "\n")
@@ -220,7 +220,7 @@ def test_socket_server_interactive_client(tiny_scorer, tmp_path):
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:
-        with socket.create_connection(server.address, timeout=60) as s:
+        with socket.create_connection(server.address, timeout=300) as s:
             # socket timeout (60 s) is the hang guard: readline raises
             # instead of blocking the suite forever
             f = s.makefile("rw", encoding="utf-8", newline="\n")
@@ -247,7 +247,7 @@ def test_socket_server_shutdown_drains_idle_client(tiny_scorer, tmp_path):
                            max_wait_ms=5, log_fn=lambda m: None)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
-    with socket.create_connection(server.address, timeout=60) as s:
+    with socket.create_connection(server.address, timeout=300) as s:
         f = s.makefile("rw", encoding="utf-8", newline="\n")
         f.write(f"q\t{name}\n")
         f.flush()
@@ -368,7 +368,7 @@ def test_socket_server_hostile_input(tiny_scorer, tmp_path):
         zero_logit = expected_logit(tiny_scorer, np.zeros(SR, np.float32))
         # (1) binary junk on the wire: errors='replace' turns it into an
         # unloadable path, scored as silence — no UnicodeDecodeError
-        with socket.create_connection(server.address, timeout=60) as s:
+        with socket.create_connection(server.address, timeout=300) as s:
             s.sendall(b"junk\t\xff\xfe\x80bad\n")
             s.shutdown(socket.SHUT_WR)
             reply = s.makefile("r", encoding="utf-8",
@@ -377,19 +377,24 @@ def test_socket_server_hostile_input(tiny_scorer, tmp_path):
         assert float(reply.split("\t")[1]) == pytest.approx(zero_logit,
                                                             abs=2e-4)
         # (2) an endless line (no newline) is a protocol violation: the
-        # server closes the connection instead of buffering it unbounded
-        with socket.create_connection(server.address, timeout=60) as s:
-            try:
-                s.sendall(b"a" * (80 * 1024))
-            except (BrokenPipeError, ConnectionResetError):
-                pass  # server already dropped us mid-send
-            try:
-                got = s.recv(1)
-            except (ConnectionResetError, OSError):
-                got = b""
-            assert got == b""  # EOF, no reply
+        # server closes the connection instead of buffering it unbounded.
+        # Second payload: multibyte UTF-8 — the cap is enforced in BYTES
+        # (80 KiB of 4-byte chars is only 20k characters; a text-mode
+        # readline(size) would keep buffering it)
+        for flood in (b"a" * (80 * 1024),
+                      "\N{ROCKET}".encode() * (20 * 1024)):
+            with socket.create_connection(server.address, timeout=300) as s:
+                try:
+                    s.sendall(flood)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # server already dropped us mid-send
+                try:
+                    got = s.recv(1)
+                except (ConnectionResetError, OSError):
+                    got = b""
+                assert got == b""  # EOF, no reply
         # (3) disconnect without reading the pending reply
-        with socket.create_connection(server.address, timeout=60) as s:
+        with socket.create_connection(server.address, timeout=300) as s:
             s.sendall(b"gone\t/nonexistent.wav\n")
         # (4) the server still serves a legit client correctly
         w = (0.3 * np.random.default_rng(3).standard_normal(SR)).astype(

@@ -43,6 +43,16 @@ def main(argv=None) -> None:
                    help="comma-separated lowering targets")
     args = p.parse_args(argv)
 
+    # fail fast, BEFORE the expensive checkpoint load: tolerate spaces
+    # ('tpu, cpu') and trailing commas, reject unknown targets here rather
+    # than deep inside jax.export
+    platforms = tuple(t.strip() for t in args.platforms.split(",")
+                      if t.strip())
+    known = {"tpu", "cpu", "cuda", "rocm"}
+    if not platforms or not set(platforms) <= known:
+        p.error(f"--platforms must be a comma-separated subset of "
+                f"{sorted(known)}, got {args.platforms!r}")
+
     from ..eval.serving import SpoofScorer
 
     scorer = SpoofScorer.from_checkpoints(
@@ -50,7 +60,7 @@ def main(argv=None) -> None:
         stage1_name=args.stage1_name, stage2_name=args.stage2_name,
         quantize=args.quantize)
     blob = scorer.export(args.batch, wire=args.wire,
-                         platforms=tuple(args.platforms.split(",")))
+                         platforms=platforms)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"[export_serving] wrote {args.out}: {len(blob) / 1e6:.1f} MB "

@@ -23,7 +23,17 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--num_samples", type=str, default=None,
+                   help="seeded per-split subsample ('None' literal = all; "
+                        "reference convention, stage1_config.py:179-183) — "
+                        "run_pipeline forwards its smoke-run subsetting "
+                        "here so extraction matches the training subset")
     args = p.parse_args(argv)
+
+    num_samples = None
+    if args.num_samples is not None:
+        ns = args.num_samples.strip().lower()
+        num_samples = None if ns in ("none", "null") else int(ns)
 
     trainer, state = Stage1Trainer.from_checkpoint(args.ckpt_dir, args.ckpt_name)
     seconds = trainer.cfg.max_duration_seconds
@@ -35,16 +45,16 @@ def main(argv=None) -> None:
     splits = []
     if args.train_protocol:
         splits.append(("train", asv_dataset(args.train_root, args.train_protocol,
-                                            seconds=seconds)))
+                                            num_samples, seconds=seconds)))
     if args.dev_protocol:
         splits.append(("dev", asv_dataset(args.dev_root, args.dev_protocol,
-                                          seconds=seconds)))
+                                          num_samples, seconds=seconds)))
     if args.eval_protocol:
         splits.append(("eval", asv_dataset(args.eval_root, args.eval_protocol,
-                                           seconds=seconds)))
+                                           num_samples, seconds=seconds)))
     if args.itw_protocol:
         splits.append(("itw", itw_dataset(args.itw_root, args.itw_protocol,
-                                          seconds=seconds)))
+                                          num_samples, seconds=seconds)))
     for name, ds in splits:
         pipe = BatchPipeline(ds, args.batch_size, num_workers=args.num_workers)
         extract_embeddings(embed_fn, pipe, args.out_dir, name,

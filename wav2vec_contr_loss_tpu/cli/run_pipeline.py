@@ -104,8 +104,12 @@ def main(argv=None) -> None:
         s1 += ["--cache_waveforms", args.cache_waveforms]
     train_stage1.main(s1)
 
-    # 2) extraction (train/dev/eval/itw as provided)
+    # 2) extraction (train/dev/eval/itw as provided). --num_samples is
+    # forwarded so a smoke run subsets EVERY leg, not just training —
+    # otherwise extraction would embed the full corpora (review r3 finding)
     ex = ["--ckpt_dir", ckpt_dir, "--out_dir", emb_dir]
+    if args.num_samples is not None:
+        ex += ["--num_samples", args.num_samples]
     ex += paths("train_root", "train_protocol", "dev_root", "dev_protocol")
     if args.eval_protocol:
         ex += paths("eval_root", "eval_protocol")

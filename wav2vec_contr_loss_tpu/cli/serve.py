@@ -38,6 +38,15 @@ from ..data.audio import AudioConfig, AudioLoader
 __all__ = ["score_paths", "score_paths_windowed", "main"]
 
 
+def _log(m: str) -> None:
+    """Best-effort stderr log: a daemon whose stderr reader died (orphaned
+    pipe) must keep serving and exit rc=0 — never crash over a log line."""
+    try:
+        print(m, file=sys.stderr)
+    except OSError:
+        pass
+
+
 def _decoded(paths: Iterable[str], loader: AudioLoader, workers: int,
              lookahead: int) -> Iterator[Tuple[str, np.ndarray]]:
     """Yield (path, waveform) in input order, decoding with a thread pool
@@ -287,11 +296,10 @@ def main(argv=None) -> None:
                     f"conflicts with the artifact's {dur} s clips")
         audio_cfg = AudioConfig(target_sample_rate=sr,
                                 max_duration_seconds=dur)
-        print(f"[serve] artifact {args.artifact}: batch={batch}, "
-              f"{spec.num_samples} samples/clip @ {sr} Hz, wire={wire}"
-              + (f", quantize={spec.quantize}"
-                 if spec.quantize not in (None, "none") else ""),
-              file=sys.stderr)
+        _log(f"[serve] artifact {args.artifact}: batch={batch}, "
+             f"{spec.num_samples} samples/clip @ {sr} Hz, wire={wire}"
+             + (f", quantize={spec.quantize}"
+                if spec.quantize not in (None, "none") else ""))
     else:
         if args.stage1_dir is None or args.stage2_dir is None:
             p.error("either --artifact or both --stage1_dir and "
@@ -313,14 +321,6 @@ def main(argv=None) -> None:
         import signal
 
         from ..eval.server import ScoringServer
-
-        def _log(m):
-            # a daemon whose stderr reader died (orphaned pipe) must keep
-            # serving and shut down rc=0 — logging is best-effort
-            try:
-                print(m, file=sys.stderr)
-            except OSError:
-                pass
 
         server = ScoringServer(
             scorer, socket_addr[0], socket_addr[1], batch=batch,
@@ -363,12 +363,11 @@ def main(argv=None) -> None:
         import os
 
         os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
-        print(f"[serve] downstream pipe closed after {n} clips",
-              file=sys.stderr)
+        _log(f"[serve] downstream pipe closed after {n} clips")
         return
-    print(f"[serve] scored {n} clips "
-          f"(decode ok={AudioLoader.loaded_count} "
-          f"failed={AudioLoader.failed_count})", file=sys.stderr)
+    _log(f"[serve] scored {n} clips "
+         f"(decode ok={AudioLoader.loaded_count} "
+         f"failed={AudioLoader.failed_count})")
 
 
 if __name__ == "__main__":

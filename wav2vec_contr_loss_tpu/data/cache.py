@@ -65,9 +65,16 @@ class CachedLoader:
         self.config = fallback.config
 
     def load(self, path) -> np.ndarray:
+        from .audio import AudioLoader
+
         i = self._rows.get(str(path))
         if i is None:
             return self._fallback.load(path)
+        # keep the loaded/failed accounting contract (print_summary,
+        # cli.serve's final line): a cache-row read is a successful load
+        # — corrupted files were counted failed once at build time
+        with AudioLoader._count_lock:
+            AudioLoader.loaded_count += 1
         row = self._mm[i]
         if row.dtype == np.int16:
             return row.astype(np.float32) * np.float32(1.0 / WIRE_SCALE)
@@ -101,11 +108,18 @@ def build_cache(dataset, cache_dir: str, dtype: str = "int16",
         list(pool.map(decode_row, range(n)))
     mm.flush()
     del mm
+    # Invalidate BEFORE swapping the data file: a crash between the two
+    # replaces must leave NO manifest, never an old still-valid manifest
+    # paired with the new rows (a later run with the old corpus would
+    # silently read the wrong audio for every clip).
+    manifest_path = os.path.join(cache_dir, _MANIFEST)
+    if os.path.exists(manifest_path):
+        os.remove(manifest_path)
     os.replace(tmp, data_path)
     manifest_tmp = os.path.join(cache_dir, _MANIFEST + ".building")
     with open(manifest_tmp, "w") as f:
         json.dump(_fingerprint(dataset, dtype), f)
-    os.replace(manifest_tmp, os.path.join(cache_dir, _MANIFEST))
+    os.replace(manifest_tmp, manifest_path)
     log(f"[CACHE] built ({n} rows)")
     return data_path
 
@@ -136,7 +150,9 @@ def attach_cache(dataset, cache_dir: str, dtype: str = "int16",
         if jax.process_index() == 0:
             build_cache(dataset, cache_dir, dtype=dtype,
                         num_workers=num_workers, log=log)
-        built = True
+            built = True
+        else:
+            log(f"[CACHE] waiting for primary build of {cache_dir}")
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 

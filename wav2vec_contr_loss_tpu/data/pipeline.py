@@ -163,11 +163,17 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
 
     def producer():
         try:
             for item in iterator:
-                q.put(put_fn(item))
+                if stop.is_set():  # consumer abandoned the generator
+                    return
+                out = put_fn(item)
+                if stop.is_set():
+                    return
+                q.put(out)
         except BaseException as e:  # surface worker errors to the consumer
             err.append(e)
         finally:
@@ -175,13 +181,26 @@ def prefetch_to_device(
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Runs on normal exhaustion AND when the consumer abandons the
+        # generator (e.g. the preemption break in fit): signal the
+        # producer and drain the queue so its blocked put/sentinel can
+        # complete — otherwise the thread, its decode pool, and `depth`
+        # pinned device batches leak for the life of the process.
+        stop.set()
+        while thread.is_alive():
+            try:
+                q.get(timeout=0.1)
+            except queue.Empty:
+                pass
 
 
 def stream_through_device(
@@ -189,6 +208,7 @@ def stream_through_device(
     put_fn,
     apply_fn,
     depth: int = 2,
+    fetch_fn=None,
 ) -> Iterator:
     """Triple-overlapped device map for extraction/scoring paths.
 
@@ -206,14 +226,18 @@ def stream_through_device(
         current batch computes.
 
     Yields `(host_result, batch)` pairs in order. `apply_fn` may return an
-    array or a tuple/list of arrays.
+    array or a tuple/list of arrays. `fetch_fn` overrides the per-array
+    host fetch (default np.asarray) — e.g. parallel.mesh.fetch_global for
+    results that are data-sharded across processes.
     """
     from collections import deque
 
+    fetch_one = np.asarray if fetch_fn is None else fetch_fn
+
     def fetch(x):
         if isinstance(x, (tuple, list)):
-            return type(x)(np.asarray(v) for v in x)
-        return np.asarray(x)
+            return type(x)(fetch_one(v) for v in x)
+        return fetch_one(x)
 
     pending: "deque" = deque()
     for dev, batch in prefetch_to_device(

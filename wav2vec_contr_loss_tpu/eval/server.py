@@ -355,7 +355,11 @@ class ScoringServer:
         (tag, Future) pairs.
         """
         mid_q: queue.Queue = queue.Queue(maxsize=self._lookahead)
-        out_q: queue.Queue = queue.Queue()
+        # bounded: a client that streams requests but never reads replies
+        # would otherwise grow (tag, futs) entries without bound; the full
+        # queue backpressures submitter -> mid_q -> reader -> the client's
+        # own TCP send buffer
+        out_q: queue.Queue = queue.Queue(maxsize=max(16, 4 * self._lookahead))
 
         def submitter():
             from .serving import window_waveform
@@ -412,22 +416,25 @@ class ScoringServer:
         wt.start()
         n = 0
         try:
-            # errors='replace': a client shoving non-UTF-8 bytes gets its
-            # garbage treated as an unloadable path (scored as silence per
-            # the fallback contract) instead of killing the reader with
+            # Binary reads so the line cap is enforced in BYTES (a text
+            # wrapper's readline(size) counts decoded characters — 4-byte
+            # UTF-8 would stretch the cap 4x). decode(errors='replace'):
+            # a client shoving non-UTF-8 bytes gets its garbage treated as
+            # an unloadable path (scored as silence per the fallback
+            # contract) instead of killing the reader with
             # UnicodeDecodeError. readline(cap): an endless line with no
             # newline is a protocol violation — drop the connection rather
             # than buffer it without bound.
-            rfile = conn.makefile("r", encoding="utf-8", errors="replace",
-                                  newline="\n")
+            rfile = conn.makefile("rb")
             while True:
-                line = rfile.readline(_MAX_LINE)
-                if not line:
+                raw = rfile.readline(_MAX_LINE)
+                if not raw:
                     break
-                if len(line) >= _MAX_LINE and not line.endswith("\n"):
+                if len(raw) >= _MAX_LINE and not raw.endswith(b"\n"):
                     self.log(f"[serve] {peer[0]}:{peer[1]}: request line "
                              f"exceeds {_MAX_LINE} bytes; closing")
                     break
+                line = raw.decode("utf-8", errors="replace")
                 line = line.rstrip("\n").rstrip("\r")
                 if not line:
                     continue

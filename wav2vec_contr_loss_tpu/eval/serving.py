@@ -139,6 +139,15 @@ class SpoofScorer:
         comp = trainer.compression
         raw_enc_params = (state.params.get("encoder")
                           or state.frozen.get("encoder"))
+        if raw_enc_params is None:
+            # a --features_dir stage-1 checkpoint has no encoder: it scores
+            # precomputed features, not waveforms — refuse clearly instead
+            # of failing deep inside flax/quant at first score
+            raise ValueError(
+                "stage-1 checkpoint has no encoder params (trained with "
+                "from_features/--features_dir?); SpoofScorer serves "
+                "waveforms end-to-end and needs an encoder — score "
+                "precomputed features via cli.generate_scores instead")
         if quantize != "none":
             # int8 serving (ops/quant.py): same graph with the transformer
             # Dense matmuls quantized — 'w8a8' rides the 2x-rate int8 MXU,

@@ -29,7 +29,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "param_sharding_rules",
-           "shard_params", "shard_opt_state"]
+           "shard_params", "shard_opt_state", "fetch_global"]
+
+
+def fetch_global(x) -> np.ndarray:
+    """Fetch a (possibly data-sharded) global array to host on EVERY
+    process. Single-process / fully-addressable arrays are a plain
+    np.asarray; arrays spanning hosts (multi-process 'data' sharding, e.g.
+    per-row eval logits) go through `process_allgather` — np.asarray on
+    those raises. Collective: under multi-process all processes must call
+    this in the same order."""
+    if (isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.is_fully_replicated):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def make_mesh(

@@ -80,6 +80,11 @@ class BaselineTrainer:
         self._build_steps()
 
     def init_state(self, rng: Optional[jax.Array] = None) -> BaselineState:
+        return self._shard_state(self._build_state(rng))
+
+    def _build_state(self, rng: Optional[jax.Array] = None) -> BaselineState:
+        """Pure (traceable) state construction — restore() runs this under
+        jax.eval_shape for a free template (see Stage1Trainer._build_state)."""
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
         k_enc, k_comp, k_cls, k_run = jax.random.split(rng, 4)
@@ -93,9 +98,8 @@ class BaselineTrainer:
         comp_params = self.compression.init(
             k_comp, jnp.zeros((2, 1, cfg.input_dim), jnp.float32)
         )["params"]
-        cls = nn.Dense(1, param_dtype=jnp.float32)
-        cls_params = cls.init(k_cls, jnp.zeros((2, cfg.hidden_dim)))["params"]
-        self._classifier = cls
+        cls_params = self._classifier().init(
+            k_cls, jnp.zeros((2, cfg.hidden_dim)))["params"]
 
         trainable = {"compression": comp_params, "classifier": cls_params}
         frozen = {}
@@ -133,11 +137,10 @@ class BaselineTrainer:
                 labels,
             ),
         )
-        state = BaselineState(
+        return BaselineState(
             params=trainable, frozen=frozen, opt_state=self.tx.init(trainable),
             step=jnp.zeros((), jnp.int32), rng=k_run,
         )
-        return self._shard_state(state)
 
     def _shard_state(self, state: BaselineState) -> BaselineState:
         """Same layout policy as Stage1Trainer._shard_state: TP specs when
@@ -159,6 +162,13 @@ class BaselineTrainer:
         return BaselineState(params=params, frozen=frozen,
                              opt_state=opt_state, step=step, rng=rng)
 
+    @staticmethod
+    def _classifier() -> nn.Dense:
+        """Single definition of the classifier head — init_state and
+        _logits must build the identical module or the param trees
+        mismatch at apply time."""
+        return nn.Dense(1, param_dtype=jnp.float32)
+
     def _logits(self, params: Dict, frozen: Dict, wave: jnp.ndarray,
                 train: bool, rng: jax.Array) -> jnp.ndarray:
         cfg = self.cfg
@@ -176,7 +186,7 @@ class BaselineTrainer:
             rngs={"dropout": k_comp} if train else None,
         )
         pooled = clip_embedding(seq, l2_normalize=False)
-        return nn.Dense(1, param_dtype=jnp.float32).apply(
+        return self._classifier().apply(
             {"params": params["classifier"]}, pooled
         )[..., 0]
 
@@ -249,22 +259,50 @@ class BaselineTrainer:
                 per = B // n_proc
                 sl = slice(rank * per, (rank + 1) * per)
                 arrays = {k: v[sl] for k, v in arrays.items()}
-            out = global_batch_from_local(self.mesh, arrays)
-            out["valid"] = b.valid  # host-side mask, never sharded
-            return out
+            return global_batch_from_local(self.mesh, arrays)
 
         return prefetch_to_device(batches, put, depth=2)
+
+    def _scored_batches(self, state: BaselineState, pipe: BatchPipeline):
+        """Yield (valid-row logits, valid-row labels) per sequential batch,
+        triple-overlapped (H2D / compute / D2H — data.pipeline.
+        stream_through_device) and multi-process safe: the global
+        data-sharded logits are fetched via fetch_global (np.asarray on an
+        array spanning hosts raises); labels/valid stay host-side."""
+        from ..data.pipeline import stream_through_device
+        from ..parallel.mesh import fetch_global, global_batch_from_local
+
+        n_proc = jax.process_count()
+        rank = jax.process_index()
+        wire16 = getattr(self.cfg, "wire_dtype", "float32") == "int16"
+
+        def put(b: Batch):
+            w = quantize_wire(b.waveforms) if wire16 else b.waveforms
+            if n_proc > 1:
+                B = w.shape[0]
+                if B % n_proc:
+                    raise ValueError(
+                        f"global batch {B} not divisible by "
+                        f"process_count={n_proc}; clips would be dropped")
+                per = B // n_proc
+                w = w[rank * per:(rank + 1) * per]
+            return global_batch_from_local(self.mesh, {"waveforms": w})[
+                "waveforms"]
+
+        for lg, b in stream_through_device(
+                pipe.sequential(), put,
+                lambda wave: self.logits_step(state, wave),
+                fetch_fn=fetch_global):
+            yield lg[b.valid], b.labels[b.valid]
 
     def evaluate_dev(self, state: BaselineState, dev_pipe: BatchPipeline
                      ) -> Tuple[float, float, float]:
         """-> (dev EER, threshold, accuracy@thresh) over the natural-
         distribution dev set (reference: baseline_train.py:220-253)."""
         logits, labels = [], []
-        for batch in self._put(dev_pipe.sequential()):
-            lg = np.asarray(self.logits_step(state, batch["waveforms"]))
-            keep = batch["valid"]
-            logits.append(lg[keep])
-            labels.append(np.asarray(batch["labels"])[keep])
+        for lg, lab in self._scored_batches(state, dev_pipe):
+            logits.append(lg)
+            labels.append(lab)
         logits = np.concatenate(logits)
         labels = np.concatenate(labels)
         scores = 1.0 / (1.0 + np.exp(-logits))
@@ -335,14 +373,19 @@ class BaselineTrainer:
                 f"dev_eer={dev_eer * 100:.2f}% | dev_acc={dev_acc * 100:.2f}% "
                 f"| thresh={thresh:.4f}"
             )
-            if dev_eer < best_eer:
+            is_new_best = dev_eer < best_eer
+            # one shared snapshot when both 'best' and 'latest' save the
+            # same state this epoch (review r3 finding)
+            host = (ckpt.snapshot_for_save(state)
+                    if save_dir is not None and is_new_best else None)
+            if is_new_best:
                 best_eer = dev_eer
                 epochs_no_improve = 0
                 if save_dir is not None:
                     ckpt.save_checkpoint(
                         save_dir, "baseline_best", state, cfg.ckpt_config(),
                         {"epoch": epoch, "dev_eer": dev_eer, "dev_acc": dev_acc},
-                        self._sidecar_extra(), block=False,
+                        self._sidecar_extra(), block=False, host_state=host,
                     )
                     log_fn(f"[epoch {epoch:03d}] ✓ new best dev EER="
                            f"{best_eer * 100:.2f}%")
@@ -356,7 +399,7 @@ class BaselineTrainer:
                     {"epoch": epoch, "dev_eer": dev_eer, "dev_acc": dev_acc,
                      "best_eer": best_eer,
                      "epochs_no_improve": epochs_no_improve},
-                    self._sidecar_extra(), block=False)
+                    self._sidecar_extra(), block=False, host_state=host)
             if epochs_no_improve >= cfg.patience:
                 log_fn(f"[EARLY STOP] patience {cfg.patience} reached "
                        f"(best EER={best_eer * 100:.2f}%)")
@@ -377,10 +420,11 @@ class BaselineTrainer:
 
     def restore(self, save_dir: str, name: str = "baseline_best"
                 ) -> BaselineState:
-        # abstract template (ADVICE r2): works for fsdp process-sharded init
+        # abstract template (ADVICE r2): works for fsdp process-sharded
+        # checkpoints; eval_shape keeps it free of concrete init/sharding
         template = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-            self.init_state())
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.eval_shape(self._build_state))
         state, _ = ckpt.restore_checkpoint(save_dir, name, template)
         return self._shard_state(state)
 
@@ -401,9 +445,7 @@ class BaselineTrainer:
         """-> (logits, labels) over a dataset in order, for CM score files
         (reference: eval_baseline_score_file.py:77-169)."""
         logits, labels = [], []
-        for batch in self._put(pipe.sequential()):
-            lg = np.asarray(self.logits_step(state, batch["waveforms"]))
-            keep = batch["valid"]
-            logits.append(lg[keep])
-            labels.append(np.asarray(batch["labels"])[keep])
+        for lg, lab in self._scored_batches(state, pipe):
+            logits.append(lg)
+            labels.append(lab)
         return np.concatenate(logits), np.concatenate(labels)

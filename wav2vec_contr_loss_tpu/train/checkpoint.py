@@ -32,7 +32,7 @@ import numpy as np
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "load_config",
            "load_sidecar", "checkpoint_exists", "alias_checkpoint",
-           "wait_for_saves", "resume_cursor"]
+           "wait_for_saves", "resume_cursor", "snapshot_for_save"]
 
 
 def resume_cursor(metrics: Dict) -> "tuple[int, int]":
@@ -83,11 +83,22 @@ def _raise_failed_saves() -> None:
 
 def wait_for_saves() -> None:
     """Block until every `save_checkpoint(..., block=False)` and enqueued
-    alias has committed; re-raises the first background failure."""
+    alias has committed; re-raises the first background failure.
+
+    ALL pending futures are joined before raising — stopping at the first
+    failure would drop the later futures from _PENDING while they are
+    still executing, permanently swallowing their failures."""
     global _PENDING
     pending, _PENDING = _PENDING, []
+    first: Optional[BaseException] = None
     for f in pending:
-        f.result()
+        try:
+            f.result()
+        except BaseException as e:
+            if first is None:
+                first = e
+    if first is not None:
+        raise first
 
 
 def _checkpointer():
@@ -221,11 +232,24 @@ def _commit_save(path: str, directory: str, name: str, host_state: Any,
     _barrier(f"ckpt-save:{name}")
 
 
+def snapshot_for_save(state: Any) -> Any:
+    """One host snapshot of `state`, safe to pass as `host_state` to
+    SEVERAL save_checkpoint calls (e.g. 'latest' + 'best' on a new-best
+    epoch) — the fetch + defensive copy of a multi-GB state happens once
+    instead of per save. Collective under multi-process (every process
+    must call it, like save_checkpoint itself). The snapshot is owned by
+    the caller and never mutated by the writer."""
+    host = _host_tree(state)
+    # decouple from donated device buffers (see save_checkpoint async path)
+    return jax.tree_util.tree_map(lambda x: np.array(x, copy=True), host)
+
+
 def save_checkpoint(directory: str, name: str, state: Any,
                     config: Optional[Dict] = None,
                     metrics: Optional[Dict] = None,
                     extra: Optional[Dict] = None, *,
-                    block: bool = True) -> str:
+                    block: bool = True,
+                    host_state: Optional[Any] = None) -> str:
     """Write <directory>/<name>, crash-safe: the new state AND its sidecar
     are fully written to temp siblings before the previous checkpoint is
     touched, so a crash mid-save never destroys the existing
@@ -252,9 +276,16 @@ def save_checkpoint(directory: str, name: str, state: Any,
     primary-host logic keeps non-primary processes from writing array data.
 
     `config` is the reference-parity UPPERCASE dict; `extra` carries
-    framework-side reload data (e.g. the encoder architecture dict)."""
+    framework-side reload data (e.g. the encoder architecture dict).
+
+    `host_state` (from snapshot_for_save) skips this call's own host
+    fetch/copy — several saves of the SAME state can share one snapshot."""
     _raise_failed_saves()
-    host_state = _host_tree(state)  # collective — before any process gate
+    if host_state is None:
+        host_state = _host_tree(state)  # collective — before process gate
+        prefetched = False
+    else:
+        prefetched = True  # already a safe host copy (snapshot_for_save)
     path = os.path.abspath(os.path.join(directory, name))
     if block or jax.process_count() > 1:
         wait_for_saves()  # total order with any in-flight async writes
@@ -265,8 +296,8 @@ def save_checkpoint(directory: str, name: str, state: Any,
         # jax.Array can alias the XLA buffer, and the trainers donate
         # state buffers into the next step — the writer thread must never
         # read memory the device is free to reuse.
-        snap = jax.tree_util.tree_map(lambda x: np.array(x, copy=True),
-                                      host_state)
+        snap = host_state if prefetched else jax.tree_util.tree_map(
+            lambda x: np.array(x, copy=True), host_state)
         _PENDING.append(_writer().submit(
             _commit_save, path, directory, name, snap,
             config, metrics, extra))

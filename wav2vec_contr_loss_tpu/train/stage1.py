@@ -219,6 +219,13 @@ class Stage1Trainer:
 
     # ------------------------------------------------------------- state
     def init_state(self, rng: Optional[jax.Array] = None) -> Stage1State:
+        return self._shard_state(self._build_state(rng))
+
+    def _build_state(self, rng: Optional[jax.Array] = None) -> Stage1State:
+        """Pure (traceable) state construction, before device placement.
+        restore() runs this under jax.eval_shape so building the restore
+        template never pays a concrete 315M-param random init + sharding
+        (it used to run a full init_state only to discard the values)."""
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
         k_enc, k_comp, k_run = jax.random.split(rng, 3)
@@ -249,11 +256,10 @@ class Stage1Trainer:
 
         self.tx = build_optimizer(self.cfg, trainable)
         opt_state = self.tx.init(trainable)
-        state = Stage1State(
+        return Stage1State(
             params=trainable, frozen=frozen, opt_state=opt_state,
             step=jnp.zeros((), jnp.int32), rng=k_run,
         )
-        return self._shard_state(state)
 
     def _shard_state(self, state: Stage1State) -> Stage1State:
         # XLS-R-300m replicates comfortably on one v5e; when the mesh has a
@@ -584,10 +590,15 @@ class Stage1Trainer:
                 extra = self._sidecar_extra()
                 # block=False: snapshot now, hide the multi-GB Orbax write
                 # behind the next epoch (ordered writer thread; degrades to
-                # blocking under multi-process — train/checkpoint.py)
+                # blocking under multi-process — train/checkpoint.py).
+                # On a new-best epoch 'latest' and 'best' save the SAME
+                # state: one shared host snapshot instead of two multi-GB
+                # fetch+copy passes (review r3 finding).
+                host = (ckpt.snapshot_for_save(state)
+                        if dev_pipe is not None and is_new_best else None)
                 ckpt.save_checkpoint(save_dir, "latest", state,
                                      self.cfg.ckpt_config(), metrics, extra,
-                                     block=False)
+                                     block=False, host_state=host)
                 if dev_pipe is None:
                     # no best-metric exists: 'best' is an alias of 'latest'
                     # (so name='best' reloads resolve) without rewriting the
@@ -596,7 +607,7 @@ class Stage1Trainer:
                 elif is_new_best:
                     ckpt.save_checkpoint(save_dir, "best", state,
                                          self.cfg.ckpt_config(), metrics,
-                                         extra, block=False)
+                                         extra, block=False, host_state=host)
                     log_fn(f"[epoch {epoch:03d}] ✓ new best dev_loss={dev_loss:.4f}")
 
         if save_dir is not None:
@@ -724,11 +735,13 @@ class Stage1Trainer:
 
     def restore(self, save_dir: str, name: str = "best") -> Stage1State:
         # abstract template (ADVICE r2): shape/dtype are global metadata, so
-        # this works even when init_state() came back fsdp-sharded across
-        # processes (np.asarray on a non-addressable array would raise)
+        # this works even for fsdp process-sharded checkpoints. eval_shape
+        # keeps the template FREE — no concrete encoder random-init, no
+        # device materialization (review r3 finding); the tx side effect
+        # _build_state carries still happens, which restore needs.
         template = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-            self.init_state())
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.eval_shape(self._build_state))
         state, _ = ckpt.restore_checkpoint(save_dir, name, template)
         return self._shard_state(state)
 

@@ -48,8 +48,12 @@ class PreemptionGuard:
 
     # ------------------------------------------------------------ signals
     def install(self) -> "PreemptionGuard":
+        # idempotent: a second install (e.g. install() then `with guard:`)
+        # must not record our own handler as 'previous' — uninstall would
+        # then restore _on_signal and leak the guard permanently
         for sig in self.signals:
-            self._prev[sig] = signal.signal(sig, self._on_signal)
+            if sig not in self._prev:
+                self._prev[sig] = signal.signal(sig, self._on_signal)
         return self
 
     def uninstall(self) -> None:
