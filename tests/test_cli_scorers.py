@@ -109,6 +109,25 @@ def test_score_famous_figures_speaker_filter(setup, tmp_path):
     assert len(open(sc).read().splitlines()) == 8
 
 
+def test_score_famous_figures_subset(setup, tmp_path):
+    """--subset bonafide keeps only label==bonafide rows
+    (reference: eval_famous_figures_score_file.py:186, data_loader.py:84-86)."""
+    root, s1_dir, s2_dir, _ = setup
+    from wav2vec_contr_loss_tpu.cli import score_famous_figures
+
+    out_dir = str(tmp_path / "ff_scores3")
+    score_famous_figures.main([
+        "--protocol", str(root / "ff.tsv"), "--root_dir", str(root),
+        "--stage1_dir", s1_dir, "--stage2_dir", s2_dir,
+        "--scores_dir", out_dir, "--batch_size", "8", "--num_workers", "2",
+        "--subset", "bonafide",
+    ])
+    sc = os.path.join(out_dir, "score_cm_famous_figures.txt")
+    lines = open(sc).read().splitlines()
+    assert len(lines) == 8
+    assert all(ln.split()[2] == "bonafide" for ln in lines)
+
+
 def test_score_baseline_cli(setup, tmp_path):
     root, _, _, bl_dir = setup
     from wav2vec_contr_loss_tpu.cli import score_baseline

@@ -26,6 +26,8 @@ def main(argv=None) -> None:
     p.add_argument("--stage2_dir", type=str, required=True)
     p.add_argument("--stage2_name", type=str, default="stage2_binary_head_best")
     p.add_argument("--scores_dir", type=str, required=True)
+    p.add_argument("--subset", type=str, default="all",
+                   choices=["all", "bonafide", "spoof"])
     p.add_argument("--include_speakers", type=str, nargs="*", default=None)
     p.add_argument("--include_sources", type=str, nargs="*", default=None)
     p.add_argument("--num_samples", type=int, default=None)
@@ -39,6 +41,7 @@ def main(argv=None) -> None:
 
     ds = parse_famous_figures(
         args.protocol, args.root_dir,
+        subset=args.subset,
         include_speakers=args.include_speakers,
         include_sources=args.include_sources,
         num_samples=args.num_samples,
