@@ -20,7 +20,7 @@ from wav2vec_contr_loss_tpu.train import Stage1Trainer
 
 TINY_ENC = Wav2Vec2Config(
     hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
-    conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+    conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(10, 8),  # stride product 80: T=200, not 1599
     num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
     dtype=jnp.float32, apply_spec_augment=False,
 )
