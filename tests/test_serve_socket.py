@@ -250,6 +250,9 @@ def test_socket_server_shutdown_drains_idle_client(tiny_scorer, tmp_path):
                            max_wait_ms=5, log_fn=lambda m: None)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
+    # computed OUTSIDE the timed window: this scores on the host and can
+    # trigger a fresh B=1 jit compile (many seconds on a loaded box)
+    want = expected_logit(tiny_scorer, AudioLoader(AudioConfig(SR, 1)).load(name))
     with socket.create_connection(server.address, timeout=300) as s:
         f = s.makefile("rw", encoding="utf-8", newline="\n")
         f.write(f"q\t{name}\n")
@@ -263,9 +266,7 @@ def test_socket_server_shutdown_drains_idle_client(tiny_scorer, tmp_path):
         # the in-flight reply arrives even though shutdown started
         reply = f.readline().rstrip()
         assert reply.split("\t")[0] == "q"
-        assert float(reply.split("\t")[1]) == pytest.approx(
-            expected_logit(tiny_scorer, AudioLoader(
-                AudioConfig(SR, 1)).load(name)), abs=2e-4)
+        assert float(reply.split("\t")[1]) == pytest.approx(want, abs=2e-4)
         assert f.readline() == ""  # then EOF: connection drained closed
         st.join(timeout=30)
         assert "stats" in done and done["stats"]["clips"] == 1
