@@ -96,3 +96,53 @@ def test_eval_scores_cli(tmp_path, capsys):
     eval_scores.main([path, "--tdcf"])
     out = capsys.readouterr().out
     assert "EER" in out and "min-tDCF" in out
+
+
+def test_eval_scores_bootstrap_and_by_attack(tmp_path, capsys):
+    """--bootstrap adds a CI line; --by_attack pairs an ASV19 protocol
+    positionally and reports per-attack EERs (A02 separable -> 0%, A01
+    overlapping -> worse); count/key mismatches fail fast."""
+    from wav2vec_contr_loss_tpu.cli import eval_scores
+    from wav2vec_contr_loss_tpu.eval.score import write_cm_scores
+
+    rng = np.random.default_rng(1)
+    # protocol order: 40 bonafide, 30 A01 (overlapping), 30 A02 (separable)
+    labels = np.array([1] * 40 + [0] * 60)
+    attacks = ["-"] * 40 + ["A01"] * 30 + ["A02"] * 30
+    scores = np.concatenate([
+        rng.normal(1.0, 1.0, 40),    # bonafide
+        rng.normal(0.5, 1.0, 30),    # A01: heavy overlap
+        rng.normal(-6.0, 0.5, 30),   # A02: clean separation
+    ])
+    proto = str(tmp_path / "protocol.txt")
+    with open(proto, "w") as f:
+        for i, (att, lab) in enumerate(zip(attacks, labels)):
+            key = "bonafide" if lab == 1 else "spoof"
+            f.write(f"LA_E_{i:06d} {att} {key} - SPK{i % 5}\n")
+    path = str(tmp_path / "score_cm_eval.txt")
+    write_cm_scores(path, labels, scores, utt_prefix="asv_eval")
+
+    eval_scores.main([path, "--bootstrap", "50", "--by_attack", proto])
+    out = capsys.readouterr().out
+    assert "95% CI [" in out
+    a01 = next(l for l in out.splitlines() if l.strip().startswith("A01:"))
+    a02 = next(l for l in out.splitlines() if l.strip().startswith("A02:"))
+    assert "(n=30)" in a01 and "(n=30)" in a02
+    eer_a01 = float(a01.split("=")[1].split("%")[0])
+    eer_a02 = float(a02.split("=")[1].split("%")[0])
+    assert eer_a02 == 0.0 and eer_a01 > 10.0
+
+    # trial-count mismatch fails fast
+    with open(proto, "a") as f:
+        f.write("LA_E_999999 A03 spoof - SPK0\n")
+    with pytest.raises(SystemExit, match="positional"):
+        eval_scores.main([path, "--by_attack", proto])
+
+    # key disagreement (right count, wrong protocol) fails fast
+    proto2 = str(tmp_path / "protocol_swapped.txt")
+    with open(proto2, "w") as f:
+        for i, (att, lab) in enumerate(zip(attacks, labels)):
+            key = "spoof" if lab == 1 else "bonafide"  # inverted keys
+            f.write(f"LA_E_{i:06d} {att} {key} - SPK{i % 5}\n")
+    with pytest.raises(SystemExit, match="disagree"):
+        eval_scores.main([path, "--by_attack", proto2])

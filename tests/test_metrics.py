@@ -163,3 +163,24 @@ def test_score_file_roundtrip(tmp_path):
     assert list(rec.keys) == ["bonafide", "spoof", "bonafide", "spoof", "spoof"]
     assert np.allclose(rec.scores, np.round(scores, 6))
     assert rec.bonafide_scores.size == 2 and rec.spoof_scores.size == 3
+
+
+def test_bootstrap_eer_ci(rng):
+    """Seeded determinism; the CI brackets the point EER for a clean
+    separable set and shrinks with more trials."""
+    tar = rng.normal(2.0, 1.0, 400)
+    non = rng.normal(-2.0, 1.0, 600)
+    point = metrics.compute_eer(tar, non)[0]
+    lo, hi = metrics.bootstrap_eer_ci(tar, non, n_boot=200, seed=7)
+    lo2, hi2 = metrics.bootstrap_eer_ci(tar, non, n_boot=200, seed=7)
+    assert (lo, hi) == (lo2, hi2)  # deterministic
+    assert 0.0 <= lo <= point <= hi <= 1.0
+    # 10x the trials at the same separation -> tighter interval
+    big_t = rng.normal(2.0, 1.0, 4000)
+    big_n = rng.normal(-2.0, 1.0, 6000)
+    blo, bhi = metrics.bootstrap_eer_ci(big_t, big_n, n_boot=200, seed=7)
+    assert (bhi - blo) < (hi - lo)
+    with pytest.raises(ValueError):
+        metrics.bootstrap_eer_ci(tar, np.array([]), n_boot=10)
+    with pytest.raises(ValueError):
+        metrics.bootstrap_eer_ci(tar, non, n_boot=10, ci=0.0)

@@ -22,6 +22,7 @@ __all__ = [
     "compute_det_curve",
     "compute_eer",
     "calculate_eer_from_file",
+    "bootstrap_eer_ci",
     "eer_threshold_sweep",
     "obtain_asv_error_rates",
     "TDCFCostModel",
@@ -90,6 +91,41 @@ def calculate_eer_from_file(cm_scores_file: str) -> float:
     bona = rec.scores[rec.keys == "bonafide"]
     spoof = rec.scores[rec.keys == "spoof"]
     return compute_eer(bona, spoof)[0] * 100.0
+
+
+def bootstrap_eer_ci(
+    target_scores: np.ndarray,
+    nontarget_scores: np.ndarray,
+    n_boot: int = 1000,
+    seed: int = 1337,
+    ci: float = 95.0,
+) -> Tuple[float, float]:
+    """Percentile-bootstrap confidence interval for the EER.
+
+    Bonafide and spoof trials are resampled independently with
+    replacement (the two classes are independent trial sets), the EER is
+    recomputed per replicate, and the (100-ci)/2 .. 100-(100-ci)/2
+    percentiles are returned — same 0-1 units as `compute_eer`. Seeded
+    and deterministic. The reference reports point EERs only
+    (evaluation.py:74-80); trial counts of a few thousand bonafide make
+    the sampling error worth stating (ASV19-LA eval: 7,355 bonafide).
+    """
+    t = np.asarray(target_scores, dtype=np.float64)
+    n = np.asarray(nontarget_scores, dtype=np.float64)
+    if t.size == 0 or n.size == 0:
+        raise ValueError("bootstrap_eer_ci needs non-empty trial sets")
+    if not 0.0 < ci < 100.0:
+        raise ValueError(f"ci must be in (0, 100), got {ci}")
+    rng = np.random.default_rng(seed)
+    eers = np.empty(int(n_boot), dtype=np.float64)
+    for b in range(int(n_boot)):
+        eers[b] = compute_eer(
+            t[rng.integers(0, t.size, t.size)],
+            n[rng.integers(0, n.size, n.size)],
+        )[0]
+    half = (100.0 - ci) / 2.0
+    lo, hi = np.percentile(eers, [half, 100.0 - half])
+    return float(lo), float(hi)
 
 
 def eer_threshold_sweep(
