@@ -146,3 +146,29 @@ def test_eval_scores_bootstrap_and_by_attack(tmp_path, capsys):
             f.write(f"LA_E_{i:06d} {att} {key} - SPK{i % 5}\n")
     with pytest.raises(SystemExit, match="disagree"):
         eval_scores.main([path, "--by_attack", proto2])
+
+
+def test_eval_scores_det_plot(tmp_path, capsys):
+    """--det writes one probit-axis DET PNG over all inputs; more curves
+    than distinguishable series fails fast."""
+    from wav2vec_contr_loss_tpu.cli import eval_scores
+    from wav2vec_contr_loss_tpu.eval.score import write_cm_scores
+
+    rng = np.random.default_rng(2)
+    paths = []
+    for k, sep in enumerate((4.0, 1.0)):
+        labels = np.array([1] * 60 + [0] * 60)
+        scores = np.concatenate([rng.normal(sep, 1.0, 60),
+                                 rng.normal(0.0, 1.0, 60)])
+        p = str(tmp_path / f"exp{k}" / "score_cm_eval.txt")
+        os.makedirs(os.path.dirname(p))
+        write_cm_scores(p, labels, scores, utt_prefix="asv_eval")
+        paths.append(p)
+    out = str(tmp_path / "det.png")
+    eval_scores.main(paths + ["--det", out])
+    assert os.path.getsize(out) > 10_000  # a real rendered figure
+    capsys.readouterr()
+
+    many = paths * 5  # 10 curves > the 8 fixed series slots
+    with pytest.raises(SystemExit, match="distinguishable"):
+        eval_scores.main(many + ["--det", str(tmp_path / "det2.png")])

@@ -69,6 +69,80 @@ def _attack_breakdown(rec, protocol: str) -> list:
     return rows
 
 
+# Validated categorical palette (fixed assignment order, never cycled):
+# adjacent-pair CVD dE >= 9.1 and normal-vision dE >= 19.6 on a light
+# surface. More curves than slots fold into one report per chart instead.
+_DET_SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100",
+               "#e87ba4", "#008300", "#4a3aa7", "#e34948"]
+_INK, _INK_2, _GRID = "#0b0b0b", "#52514e", "#e4e3e0"
+
+
+def _det_labels(paths) -> list:
+    """Compact per-curve labels: the path with the common prefix and the
+    score_cm_/.txt boilerplate stripped (reference layout:
+    scores/<exp>/<model>/score_cm_<split>.txt -> '<exp>/<model> <split>')."""
+    import os
+
+    common = os.path.commonpath(paths) if len(paths) > 1 else ""
+    out = []
+    for p in paths:
+        rel = os.path.relpath(p, common) if common else os.path.basename(p)
+        rel = rel.replace("score_cm_", "").replace(".txt", "")
+        out.append(rel.replace(os.sep + "eval", " eval")
+                      .replace(os.sep + "itw", " itw"))
+    return out
+
+
+def _plot_det(curves, out_path: str) -> None:
+    """One DET plot (probit axes, the ASVspoof convention) over every
+    scored file; EER points marked on the miss==fa diagonal. The stdout
+    EER table is the accessible companion to the figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy.stats import norm
+
+    if len(curves) > len(_DET_SERIES):
+        raise SystemExit(
+            f"--det: {len(curves)} score files but at most "
+            f"{len(_DET_SERIES)} distinguishable curves per plot — split "
+            "the input into multiple --det invocations")
+    lo, hi = 0.05e-2, 0.6  # plotted rate range: 0.05% .. 60%
+    ticks = np.array([0.1, 0.2, 0.5, 1, 2, 5, 10, 20, 40]) / 100.0
+    fig, ax = plt.subplots(figsize=(6.0, 5.6), dpi=150)
+    for (label, frr, far, eer), color in zip(curves, _DET_SERIES):
+        keep = (far > 0) & (frr > 0)
+        x = norm.ppf(np.clip(far[keep], lo, hi))
+        y = norm.ppf(np.clip(frr[keep], lo, hi))
+        ax.plot(x, y, color=color, linewidth=2, label=label)
+        e = norm.ppf(np.clip(eer, lo, hi))
+        ax.plot(e, e, "o", color=color, markersize=5,
+                markeredgecolor="white", markeredgewidth=1)
+    diag = norm.ppf(np.array([lo, hi]))
+    ax.plot(diag, diag, color=_GRID, linewidth=1, zorder=0)
+    tickpos = norm.ppf(ticks)
+    for a, setter in ((ax.set_xticks, ax.set_xticklabels),
+                      (ax.set_yticks, ax.set_yticklabels)):
+        a(tickpos)
+        setter([f"{t * 100:g}" for t in ticks])
+    ax.set_xlim(norm.ppf(lo), norm.ppf(hi))
+    ax.set_ylim(norm.ppf(lo), norm.ppf(hi))
+    ax.set_xlabel("False acceptance rate (%)", color=_INK)
+    ax.set_ylabel("False rejection rate (%)", color=_INK)
+    ax.set_title("DET — countermeasure scores", color=_INK, loc="left")
+    ax.grid(True, color=_GRID, linewidth=0.5)
+    ax.tick_params(colors=_INK_2, labelsize=8)
+    for s in ax.spines.values():
+        s.set_color(_GRID)
+    if len(curves) > 1:
+        ax.legend(fontsize=8, frameon=False, labelcolor=_INK)
+    fig.tight_layout()
+    fig.savefig(out_path, facecolor="#fcfcfb")
+    plt.close(fig)
+    print(f"DET plot -> {out_path}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("score_files", nargs="+",
@@ -85,14 +159,24 @@ def main(argv=None) -> None:
     p.add_argument("--by_attack", metavar="PROTOCOL", default=None,
                    help="ASVspoof2019 protocol file paired positionally with "
                         "the score lines: adds a per-attack EER table")
+    p.add_argument("--det", metavar="OUT.png", default=None,
+                   help="save one DET plot (probit axes) over all score files")
     args = p.parse_args(argv)
 
+    det_curves, det_paths = [], []
     for path in _expand_trees(args.score_files):
         eer = calculate_eer_from_file(path)
         line = f"{path}: EER = {eer:.3f}%"
         rec = None
-        if args.tdcf or args.bootstrap or args.by_attack:
+        if args.tdcf or args.bootstrap or args.by_attack or args.det:
             rec = read_score_file(path)
+        if args.det:
+            from ..eval.metrics import compute_det_curve
+
+            frr, far, _ = compute_det_curve(rec.bonafide_scores,
+                                            rec.spoof_scores)
+            det_curves.append((frr, far, eer / 100.0))
+            det_paths.append(path)
         if args.bootstrap:
             lo, hi = bootstrap_eer_ci(rec.bonafide_scores, rec.spoof_scores,
                                       n_boot=args.bootstrap, seed=args.seed)
@@ -107,6 +191,10 @@ def main(argv=None) -> None:
         if args.by_attack:
             for attack, n, a_eer in _attack_breakdown(rec, args.by_attack):
                 print(f"  {attack}: EER = {a_eer:.3f}%  (n={n})")
+    if args.det and det_curves:
+        labels = _det_labels(det_paths)
+        _plot_det([(lab,) + c for lab, c in zip(labels, det_curves)],
+                  args.det)
 
 
 if __name__ == "__main__":
