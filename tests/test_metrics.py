@@ -184,3 +184,22 @@ def test_bootstrap_eer_ci(rng):
         metrics.bootstrap_eer_ci(tar, np.array([]), n_boot=10)
     with pytest.raises(ValueError):
         metrics.bootstrap_eer_ci(tar, non, n_boot=10, ci=0.0)
+
+
+def test_threshold_at_far(rng):
+    """The returned threshold meets the FAR budget with the lowest FRR on
+    the curve; extremes behave (FAR budget 1.0 -> accept-all corner)."""
+    tar = rng.normal(2.0, 1.0, 500)
+    non = rng.normal(-2.0, 1.0, 500)
+    thr, frr, far = metrics.threshold_at_far(tar, non, 0.01)
+    assert far <= 0.01
+    # applying the threshold reproduces the reported rates
+    assert np.mean(non > thr) == pytest.approx(far)
+    assert np.mean(tar <= thr) == pytest.approx(frr)
+    # tightening the budget can only raise FRR
+    thr2, frr2, far2 = metrics.threshold_at_far(tar, non, 0.001)
+    assert far2 <= 0.001 and frr2 >= frr
+    t0, f0, a0 = metrics.threshold_at_far(tar, non, 1.0)
+    assert f0 == 0.0 and a0 == 1.0  # the accept-everything corner
+    with pytest.raises(ValueError):
+        metrics.threshold_at_far(tar, non, 5.0)

@@ -14,6 +14,7 @@ from ..eval.metrics import (
     calculate_eer_from_file,
     compute_eer,
     compute_tdcf,
+    threshold_at_far,
 )
 from ..eval.score import read_score_file
 
@@ -161,6 +162,12 @@ def main(argv=None) -> None:
                         "the score lines: adds a per-attack EER table")
     p.add_argument("--det", metavar="OUT.png", default=None,
                    help="save one DET plot (probit axes) over all score files")
+    p.add_argument("--operating_point", metavar="FAR%", type=float,
+                   action="append", default=None,
+                   help="report the deployment threshold (for e.g. "
+                        "serve --threshold) and its FRR at this FAR budget "
+                        "(percent; repeatable). The EER threshold is always "
+                        "included")
     args = p.parse_args(argv)
 
     det_curves, det_paths = [], []
@@ -168,7 +175,8 @@ def main(argv=None) -> None:
         eer = calculate_eer_from_file(path)
         line = f"{path}: EER = {eer:.3f}%"
         rec = None
-        if args.tdcf or args.bootstrap or args.by_attack or args.det:
+        if (args.tdcf or args.bootstrap or args.by_attack or args.det
+                or args.operating_point):
             rec = read_score_file(path)
         if args.det:
             from ..eval.metrics import compute_det_curve
@@ -188,6 +196,14 @@ def main(argv=None) -> None:
             )
             line += f" | min-tDCF = {float(tdcf.min()):.5f}"
         print(line)
+        if args.operating_point is not None:
+            _, eer_thr = compute_eer(rec.bonafide_scores, rec.spoof_scores)
+            print(f"  threshold @ EER: {eer_thr:.6f}")
+            for far_pct in args.operating_point:
+                thr, frr, far = threshold_at_far(
+                    rec.bonafide_scores, rec.spoof_scores, far_pct / 100.0)
+                print(f"  threshold @ FAR<={far_pct:g}%: {thr:.6f}  "
+                      f"(FRR = {frr * 100:.3f}%, FAR = {far * 100:.3f}%)")
         if args.by_attack:
             for attack, n, a_eer in _attack_breakdown(rec, args.by_attack):
                 print(f"  {attack}: EER = {a_eer:.3f}%  (n={n})")

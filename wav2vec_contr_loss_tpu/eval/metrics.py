@@ -22,6 +22,7 @@ __all__ = [
     "compute_det_curve",
     "compute_eer",
     "calculate_eer_from_file",
+    "threshold_at_far",
     "bootstrap_eer_ci",
     "eer_threshold_sweep",
     "obtain_asv_error_rates",
@@ -91,6 +92,26 @@ def calculate_eer_from_file(cm_scores_file: str) -> float:
     bona = rec.scores[rec.keys == "bonafide"]
     spoof = rec.scores[rec.keys == "spoof"]
     return compute_eer(bona, spoof)[0] * 100.0
+
+
+def threshold_at_far(
+    target_scores: np.ndarray,
+    nontarget_scores: np.ndarray,
+    far_target: float,
+) -> Tuple[float, float, float]:
+    """Lowest-FRR operating point with FAR <= `far_target` (fraction).
+
+    Returns (threshold, frr, far) on the DET curve — the score threshold
+    to deploy (e.g. `serve --threshold`) when a false-acceptance budget,
+    not the EER, is the requirement. FAR is non-increasing along the
+    curve, so the first index meeting the budget has the lowest FRR.
+    """
+    if not 0.0 <= far_target <= 1.0:
+        raise ValueError(f"far_target must be a fraction in [0,1], "
+                         f"got {far_target}")
+    frr, far, thr = compute_det_curve(target_scores, nontarget_scores)
+    idx = int(np.argmax(far <= far_target))  # first True (far is sorted desc)
+    return float(thr[idx]), float(frr[idx]), float(far[idx])
 
 
 def bootstrap_eer_ci(
