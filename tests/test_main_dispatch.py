@@ -50,3 +50,21 @@ def test_cli_module_list_matches_disk():
     disk = {p.stem for p in pathlib.Path(cli_pkg.__file__).parent.glob("*.py")
             if p.stem not in ("__init__", "__main__", "common")}
     assert disk == {m for m, _ in COMMANDS.values()}
+
+
+def test_dispatch_enables_persistent_compile_cache(capsys):
+    """Every dispatched command (not just bench.py) must get the
+    persistent compile cache — a cold train/serve compile on the axon
+    remote service costs 10-45 min, a cached one seconds."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        with pytest.raises(SystemExit) as e:
+            main(["eval_scores", "--help"])  # argparse exits after dispatch
+        assert e.value.code == 0
+        capsys.readouterr()
+        assert str(jax.config.jax_compilation_cache_dir).endswith(".jax_cache")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

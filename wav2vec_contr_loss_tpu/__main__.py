@@ -60,6 +60,12 @@ def main(argv=None) -> None:
     if cmd not in COMMANDS:
         print(f"unknown command: {cmd!r}\n\n{_usage()}", file=sys.stderr)
         raise SystemExit(2)
+    # every command gets the persistent compile cache: on the axon
+    # remote-compile service a cold train/serve program costs 10-45 min,
+    # a cached one seconds — bench.py always had this, user CLIs must too
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     mod = importlib.import_module(f"{__package__}.cli.{COMMANDS[cmd][0]}")
     mod.main(argv[1:])
 

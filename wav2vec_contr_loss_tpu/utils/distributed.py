@@ -105,7 +105,13 @@ def add_multihost_arg(parser) -> None:
 
 
 def init_from_args(args) -> bool:
-    """Apply the --multihost decision; call before any device use."""
+    """Apply the --multihost decision; call before any device use.
+    Also enables the persistent compile cache: this runs exactly once at
+    the start of every training/pipeline CLI, whether entered via the
+    `python -m wav2vec_contr_loss_tpu` front door or as a cli.* module."""
+    from .compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     if getattr(args, "multihost", None) == 0:
         return False
     return maybe_initialize(force=getattr(args, "multihost", None) == 1)
