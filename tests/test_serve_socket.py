@@ -257,7 +257,13 @@ def test_socket_server_shutdown_drains_idle_client(tiny_scorer, tmp_path):
         f = s.makefile("rw", encoding="utf-8", newline="\n")
         f.write(f"q\t{name}\n")
         f.flush()
-        time.sleep(0.8)  # let the reader ingest the request; stay idle
+        # wait until the request is INGESTED (decoded, submitted, counted
+        # by the batcher's collector) — a fixed sleep flakes on a loaded
+        # box where the reader thread may not have run yet; stay idle
+        deadline = time.monotonic() + 60
+        while server.batcher.n_clips < 1 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert server.batcher.n_clips >= 1, "request never reached batcher"
         t0 = time.monotonic()
         done = {}
         st = threading.Thread(
