@@ -53,6 +53,42 @@ def test_resample_on_load(tmp_path):
     assert abs(int(np.argmax(spec)) - 440) <= 2
 
 
+def test_resample_matches_librosa_soxr(tmp_path):
+    """PARITY.md deviation #10: our resampler is scipy resample_poly; the
+    reference's is librosa.load(sr=target) -> soxr (reference:
+    base_audio.py:21-27). Both are bandlimited polyphase designs — assert
+    in-band agreement when librosa is importable (it is absent in this
+    environment, so this skips; the deviation is documented regardless).
+    The published recipes never hit this path: ASV19-LA/ITW are 16 kHz."""
+    librosa = pytest.importorskip("librosa")
+    from wav2vec_contr_loss_tpu.data.audio import resample
+
+    sr_in, sr_out, seconds = 48000, 16000, 2
+    t = np.arange(sr_in * seconds) / sr_in
+    # multi-tone well inside the output Nyquist band (max 3.1 kHz << 8 kHz)
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 1333 * t)
+           + 0.1 * np.sin(2 * np.pi * 3100 * t)).astype(np.float32)
+
+    ours = resample(sig, sr_in, sr_out)
+    p = tmp_path / "c.wav"
+    write_wav(p, sig, sr_in)
+    ref, got_sr = librosa.load(p, sr=sr_out, mono=True)
+    assert got_sr == sr_out
+    n = min(ours.shape[0], ref.shape[0])
+    # exclude filter warmup/teardown edges; compare the steady-state body
+    edge = 512
+    a, b = ours[edge:n - edge], ref[edge:n - edge]
+    rel_l2 = np.linalg.norm(a - b) / np.linalg.norm(b)
+    # 16-bit PCM quantization alone contributes ~1e-4; soxr-vs-polyphase
+    # passband ripple differences are the rest
+    assert rel_l2 < 2e-2, f"resampler disagreement rel_l2={rel_l2}"
+    # identical dominant spectral peaks
+    fa = np.abs(np.fft.rfft(a))
+    fb = np.abs(np.fft.rfft(b))
+    assert int(np.argmax(fa)) == int(np.argmax(fb))
+
+
 def test_corrupted_file_fallback(tmp_path):
     p = tmp_path / "bad.wav"
     p.write_bytes(b"this is not audio")
