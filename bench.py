@@ -5,10 +5,22 @@ XLS-R-300m (315M params), batch 32, 5 s clips, RawBoost on (fused on-device
 here) — the exact workload whose A40 throughput BASELINE.md derives as
 ~20-30 clips/s (train_stage1.sbatch:71-80, ~13.1 h pipeline).
 
-Modes:
-  default / --mode finetune : finetune_encoder=1 (the published sweep)
+Modes (one JSON line each — VERDICT r3 weak #3: the perf story is a
+table, not a single number):
+  default / --mode finetune : stage-1 SupCon, finetune_encoder=1 (the
+                              published sweep) — the headline figure
   --mode frozen             : frozen encoder (the reference's config DEFAULT,
                               stage1_config.py:30) — second tracked figure
+  --mode baseline           : end-to-end BCE baseline trainer, clips/s/chip
+                              (reference: baseline_train.py:183-217; the A40
+                              row behind BASELINE.md's 0.285% EER run)
+  --mode extract            : frozen-encoder embedding extraction,
+                              clips/s/chip (reference:
+                              extract_stage1_embeddings.py — the ~153k-clip
+                              leg of the 13.1 h pipeline)
+  --mode stage2             : stage-2 linear-head scoring, batches/s at
+                              B=256 on 256-d embeddings (BASELINE.md row:
+                              ~1,400-2,300 batches/s on A40)
   --attention {xla,pallas}  : attention implementation under test
                               (adjudication: VERDICT r1 weak #3)
 
@@ -32,13 +44,175 @@ import time
 import numpy as np
 
 A40_BASELINE_CLIPS_PER_SEC = 30.0  # BASELINE.md derived upper bound
+# BASELINE.md stage-2 row: ~1,400-2,300 batches/s (B=256 linear head on
+# 256-d embeddings, tqdm rates) — compare against the strictest end
+A40_STAGE2_BATCHES_PER_SEC = 2300.0
+
+
+def _emit(metric: str, value: float, unit: str, baseline: float) -> None:
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+def _timed_steps(first_step, step, sync, n_steps: int) -> float:
+    """Warmup/compile `first_step` (with the axon-flakiness retry), then
+    time `n_steps` chained `step()` calls; `sync()` must force a host
+    fetch (on the remote axon backend only a fetch reliably waits for
+    execution — CLAUDE.md). Returns elapsed seconds."""
+    last_err = None
+    for _ in range(3):
+        try:
+            first_step()
+            last_err = None
+            break
+        except Exception as e:  # pragma: no cover - service flakiness
+            last_err = e
+            time.sleep(10)
+    if last_err is not None:
+        raise last_err
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    sync()
+    return time.perf_counter() - t0
+
+
+def _bench_baseline(args) -> None:
+    """BCE baseline train step at the reference recipe shapes
+    (batch 32, 5 s clips, XLS-R-300m, RawBoost on-device, finetune —
+    BaselineConfig defaults = the measured TPU recipe)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_contr_loss_tpu.config import BaselineConfig
+    from wav2vec_contr_loss_tpu.models.wav2vec2 import XLSR_300M
+    from wav2vec_contr_loss_tpu.train import BaselineTrainer
+
+    bs = args.batch_size
+    cfg = BaselineConfig(batch_size=bs)
+    trainer = BaselineTrainer(cfg, enc_config=XLSR_300M, pos_weight=8.8372)
+    state_box = [trainer.init_state(jax.random.PRNGKey(0))]
+
+    rng = np.random.default_rng(0)
+    t = cfg.max_duration_seconds * cfg.target_sample_rate
+    wave = rng.normal(0, 0.2, (bs, t)).astype(np.float32)
+    wave[:, 60000:] = 0.0
+    batch = {
+        "waveforms": jnp.asarray(wave),
+        "labels": jnp.asarray(np.array([1, 0] * (bs // 2), np.int32)),
+    }
+    loss_box = [None]
+
+    def one():
+        state_box[0], m = trainer.train_step(state_box[0], dict(batch))
+        loss_box[0] = m["loss"]
+
+    def sync():
+        assert np.isfinite(float(loss_box[0]))
+
+    def first():
+        one()
+        sync()
+
+    dt = _timed_steps(first, one, sync, args.steps)
+    value = args.steps * bs / dt / jax.device_count()
+    _emit("baseline_bce_train_throughput", value, "clips/sec/chip",
+          A40_BASELINE_CLIPS_PER_SEC)
+
+
+def _bench_extract(args) -> None:
+    """Frozen-encoder embedding extraction (Stage1Trainer.embed_step) —
+    device-resident rate; the end-to-end stream (H2D overlap, int16 wire)
+    is measured separately in cli.bench_components/docs/SERVING.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_contr_loss_tpu.config import Stage1Config
+    from wav2vec_contr_loss_tpu.models.wav2vec2 import XLSR_300M
+    from wav2vec_contr_loss_tpu.train import Stage1Trainer
+
+    bs = args.batch_size
+    cfg = Stage1Config(batch_size=bs, finetune_encoder=False,
+                       use_rawboost=False)
+    trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    t = cfg.max_duration_seconds * cfg.target_sample_rate
+    wave = rng.normal(0, 0.2, (bs, t)).astype(np.float32)
+    wave[:, 60000:] = 0.0
+    batch = {"waveforms": jnp.asarray(wave)}
+    z_box = [None]
+
+    def one():
+        z_box[0] = trainer.embed_step(state.params, state.frozen,
+                                      dict(batch))
+
+    def sync():
+        assert np.isfinite(float(z_box[0][0, 0]))
+
+    def first():
+        one()
+        sync()
+
+    dt = _timed_steps(first, one, sync, args.steps)
+    value = args.steps * bs / dt / jax.device_count()
+    _emit("stage1_embedding_extract_throughput", value, "clips/sec/chip",
+          A40_BASELINE_CLIPS_PER_SEC)
+
+
+def _bench_stage2(args) -> None:
+    """Stage-2 scoring: the dev/eval logits scan from train_stage2 —
+    K batches of (256, 256) embeddings through the linear head in one
+    jitted lax.scan (how our stage-2 actually scores), reported as
+    batches/s against BASELINE.md's ~1,400-2,300 batches/s A40 row."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_contr_loss_tpu.models.heads import build_head
+
+    b, d, k = 256, 256, 512  # batch, embedding dim, batches per call
+    head = build_head("linear")
+    params = head.init(jax.random.PRNGKey(0), jnp.zeros((2, d)))["params"]
+    xs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(k, b, d)).astype(np.float32))
+
+    @jax.jit
+    def scan_logits(params, xs):
+        return jax.lax.scan(
+            lambda _, x: (0, head.apply({"params": params}, x)), 0, xs
+        )[1]
+
+    out_box = [None]
+
+    def one():
+        out_box[0] = scan_logits(params, xs)
+
+    def sync():
+        assert np.isfinite(float(out_box[0][0, 0]))
+
+    def first():
+        one()
+        sync()
+
+    dt = _timed_steps(first, one, sync, args.steps)
+    value = args.steps * k / dt
+    _emit("stage2_scoring_throughput", value, "batches/sec",
+          A40_STAGE2_BATCHES_PER_SEC)
 
 
 def main(argv=None) -> None:
     import os
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["finetune", "frozen"], default="finetune")
+    ap.add_argument("--mode",
+                    choices=["finetune", "frozen", "baseline", "extract",
+                             "stage2"],
+                    default="finetune")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--remat", choices=["default", "off", "full", "dots",
                                         "dots_all", "dots_ffact", "dots_all_ffact"],
@@ -82,6 +256,9 @@ def main(argv=None) -> None:
 
     enable_compile_cache(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    if args.mode in ("baseline", "extract", "stage2"):
+        return {"baseline": _bench_baseline, "extract": _bench_extract,
+                "stage2": _bench_stage2}[args.mode](args)
     import jax.numpy as jnp
 
     from wav2vec_contr_loss_tpu.config import Stage1Config

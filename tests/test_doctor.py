@@ -27,3 +27,27 @@ def test_doctor_failing_check_exits_nonzero(capsys, monkeypatch):
     assert e.value.code == 1
     out = capsys.readouterr().out
     assert "[FAIL] probe: RuntimeError: synthetic failure" in out
+
+
+def test_doctor_real_weights_prestage(capsys, monkeypatch, tmp_path):
+    """The real-weights reachability check (PARITY.md §real-weights): an
+    ingestible $W2V_HF_SNAPSHOT drop is reported, an invalid one FAILS."""
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    (snap / "config.json").write_text("{}")
+    (snap / "model.safetensors").write_bytes(b"x")
+    monkeypatch.setenv("W2V_HF_SNAPSHOT", str(snap))
+    assert "ingestible" in doctor._real_weights()
+
+    (snap / "config.json").unlink()
+    with pytest.raises(RuntimeError, match="not an ingestible"):
+        doctor._real_weights()
+
+    monkeypatch.delenv("W2V_HF_SNAPSHOT")
+    monkeypatch.setenv("W2V_ASV19_LA_ROOT", str(tmp_path / "nope"))
+    with pytest.raises(RuntimeError, match="does not exist"):
+        doctor._real_weights()
+
+    monkeypatch.setenv("W2V_ASV19_LA_ROOT", str(tmp_path))
+    out = doctor._real_weights()
+    assert "W2V_ASV19_LA_ROOT: present" in out and "W2V_ITW_ROOT: unset" in out

@@ -126,6 +126,64 @@ def _cache() -> str:
     return f"{d} ({n} entries)"
 
 
+@check("real-weights leg (optional)")
+def _real_weights() -> str:
+    """Pre-stages the north-star EER-parity run (BASELINE.md): reports
+    whether the facebook/wav2vec2-xls-r-300m weights and the ASVspoof
+    corpora are reachable RIGHT NOW, so the day the environment grants
+    network or a file drop, parity is one command chain with no
+    decisions left:
+
+      python -m wav2vec_contr_loss_tpu convert_hf_checkpoint \
+          --src $W2V_HF_SNAPSHOT --out ckpt/xlsr300m        # offline drop
+      python -m wav2vec_contr_loss_tpu run_pipeline \
+          --exp_name supcon_temp_0.07 --encoder_init ckpt/xlsr300m ...
+      python -m wav2vec_contr_loss_tpu verify_parity \
+          --exp_name supcon_temp_0.07 ...   # accepts |ΔEER| <= 0.2% abs
+
+    Reachability sources probed: (a) a dropped HF snapshot directory in
+    $W2V_HF_SNAPSHOT — set-but-invalid FAILS the check (a user error
+    worth surfacing), (b) the HF hub cache ($HF_HOME or
+    ~/.cache/huggingface), (c) corpora roots in $W2V_ASV19_LA_ROOT /
+    $W2V_ITW_ROOT. All-absent is reported, not failed — expected in the
+    air-gapped image (PARITY.md §real-weights)."""
+    bits = []
+
+    snap = os.environ.get("W2V_HF_SNAPSHOT", "")
+    if snap:
+        has_cfg = os.path.isfile(os.path.join(snap, "config.json"))
+        has_weights = any(
+            f.endswith((".safetensors", ".bin", ".pt"))
+            or f.endswith(".index.json")
+            for f in (os.listdir(snap) if os.path.isdir(snap) else ())
+        )
+        if not (has_cfg and has_weights):
+            raise RuntimeError(
+                f"W2V_HF_SNAPSHOT={snap} is set but not an ingestible HF "
+                "snapshot (need config.json + model.safetensors/"
+                "pytorch_model.bin)")
+        bits.append(f"snapshot drop {snap}: ingestible")
+    else:
+        bits.append("no snapshot drop ($W2V_HF_SNAPSHOT unset)")
+
+    hub = os.environ.get("HF_HOME",
+                         os.path.expanduser("~/.cache/huggingface"))
+    cached = os.path.join(hub, "hub", "models--facebook--wav2vec2-xls-r-300m")
+    bits.append("hub cache: " + ("present" if os.path.isdir(cached)
+                                 else "absent"))
+
+    for env in ("W2V_ASV19_LA_ROOT", "W2V_ITW_ROOT"):
+        root = os.environ.get(env, "")
+        bits.append(f"{env}: " + (
+            "unset" if not root
+            else "present" if os.path.isdir(root)
+            else "SET BUT MISSING"))
+        if root and not os.path.isdir(root):
+            raise RuntimeError(f"{env}={root} does not exist")
+
+    return "; ".join(bits)
+
+
 @check("reference oracle (optional)")
 def _reference() -> str:
     ref = "/root/reference"
