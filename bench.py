@@ -240,6 +240,11 @@ def main(argv=None) -> None:
                     help="conv-extractor LayerNorm implementation")
     ap.add_argument("--scan_unroll", type=int, default=None,
                     help="encoder layer-scan unroll factor (default 24)")
+    ap.add_argument("--dropout0", action="store_true",
+                    help="profiling probe (PROFILE_r4 tail decomposition): "
+                         "all dropout rates + SpecAugment off — the "
+                         "throughput delta vs the default recipe bounds "
+                         "the PRNG+mask-apply share of the step")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--remat_conv", action="store_true",
                     help="recompute conv-extractor activations in the bwd "
@@ -297,7 +302,14 @@ def main(argv=None) -> None:
         cfg = cfg.replace(remat_encoder=False)
     elif args.remat != "default":
         cfg = cfg.replace(remat_encoder=True, remat_policy=args.remat)
-    trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
+    enc_config = XLSR_300M
+    if args.dropout0:
+        cfg = cfg.replace(dropout=0.0)
+        enc_config = enc_config.with_(
+            hidden_dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, feat_proj_dropout=0.0,
+            apply_spec_augment=False)
+    trainer = Stage1Trainer(cfg, enc_config=enc_config)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
@@ -346,6 +358,8 @@ def main(argv=None) -> None:
     suffix = "" if args.attention == "xla" else f"_attn_{args.attention}"
     if batch_size != 32:
         suffix += f"_bs{batch_size}"
+    if args.dropout0:
+        suffix += "_dropout0"
     print(json.dumps({
         "metric": metric + suffix,
         "value": round(value, 2),

@@ -111,6 +111,86 @@ def summarize_xspace(path: str, top: int = 45) -> str:
     return "\n".join(out) if out else "(no device planes found in xspace)"
 
 
+def _bucket_of(full: str) -> str:
+    """Classify one HLO instruction into a profile band, designed to
+    DECOMPOSE THE LONG TAIL (VERDICT r3 weak #2): the main bands (matmul/
+    conv/elementwise >=1 MB results) are lumped together; everything small
+    is split by what it is (PRNG bits, masks, LN/softmax stats,
+    reductions, layout copies, scalars)."""
+    import re
+
+    head = full.split(" = ", 1)
+    rhs = head[1] if len(head) == 2 else full
+    toks = rhs.split(None, 1)
+    shape = toks[0]
+    kind = toks[1].split("(", 1)[0] if len(toks) > 1 else "?"
+
+    m = re.match(r"\(?([a-z0-9]+)\[([0-9,]*)\]", shape)
+    dtype, dims = (m.group(1), m.group(2)) if m else ("?", "")
+    sizes = [int(d) for d in dims.split(",") if d] if dims else []
+    elems = int(np.prod(sizes)) if sizes else 1
+    bytes_per = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+                 "u16": 2, "s16": 2, "pred": 1, "u8": 1, "s8": 1}.get(dtype, 4)
+    nbytes = elems * bytes_per
+
+    if kind in ("copy", "transpose", "bitcast", "copy-start", "copy-done"):
+        return "layout copies"
+    if dtype in ("u32", "u64", "s64", "u16", "u8") or "rng" in full:
+        return "tail: PRNG/integer bit math"
+    if dtype == "pred":
+        return "tail: masks (pred)"
+    if nbytes >= 1 << 20:
+        return "main bands (>=1MB results: matmul/conv/elementwise)"
+    if kind.startswith("reduce") or kind == "all-reduce":
+        return "tail: small reductions"
+    if dtype == "f32" and len(sizes) >= 1 and elems <= 64 * 1024:
+        return "tail: f32 small stats (LN/softmax/loss-land)"
+    if not sizes or elems <= 128:
+        return "tail: scalars/control"
+    return "tail: other small ops"
+
+
+def summarize_buckets(path: str) -> str:
+    """Tail decomposition: total device ms per bucket over the profiled
+    steps (divide by --profile_steps for ms/step)."""
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+
+    raw = open(path, "rb").read()
+    try:
+        raw = gzip.decompress(raw)
+    except OSError:
+        pass
+    xspace = xplane_pb2.XSpace()
+    xspace.ParseFromString(raw)
+
+    out = []
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops" or not line.events:
+                continue
+            total_by = collections.Counter()
+            count_by = collections.Counter()
+            tot = 0
+            for ev in line.events:
+                b = _bucket_of(ev_meta.get(ev.metadata_id,
+                                           str(ev.metadata_id)))
+                total_by[b] += ev.duration_ps
+                count_by[b] += 1
+                tot += ev.duration_ps
+            out.append(f"=== bucket decomposition: plane {plane.name} "
+                       f"(device total {tot / 1e9:.2f} ms)")
+            for name, ps in total_by.most_common():
+                out.append(f"  {ps / 1e9:10.3f} ms  x{count_by[name]:<6d} "
+                           f"{ps / max(tot, 1) * 100:5.1f}%  {name}")
+    return "\n".join(out) if out else "(no device planes found in xspace)"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=12)
@@ -125,10 +205,18 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/w2v_profile")
     ap.add_argument("--summarize_only", default=None,
                     help="skip running; summarize this .xplane.pb file")
+    ap.add_argument("--buckets", action="store_true",
+                    help="also print the long-tail bucket decomposition")
+    ap.add_argument("--dropout0", action="store_true",
+                    help="profiling probe: all dropout rates + SpecAugment "
+                         "off — bounds the PRNG+mask tail share in one "
+                         "throughput/profile delta")
     args = ap.parse_args()
 
     if args.summarize_only:
         print(summarize_xspace(args.summarize_only))
+        if args.buckets:
+            print(summarize_buckets(args.summarize_only))
         return
 
     import jax  # noqa: F401
@@ -155,7 +243,14 @@ def main() -> None:
     )
     if args.remat != "default":
         cfg = cfg.replace(remat_encoder=True, remat_policy=args.remat)
-    trainer = Stage1Trainer(cfg, enc_config=XLSR_300M)
+    enc_config = XLSR_300M
+    if args.dropout0:
+        cfg = cfg.replace(dropout=0.0)
+        enc_config = enc_config.with_(
+            hidden_dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, feat_proj_dropout=0.0,
+            apply_spec_augment=False)
+    trainer = Stage1Trainer(cfg, enc_config=enc_config)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
@@ -194,6 +289,8 @@ def main() -> None:
         return
     print(f"[profile] xplane: {paths[-1]}", flush=True)
     print(summarize_xspace(paths[-1]))
+    if args.buckets:
+        print(summarize_buckets(paths[-1]))
 
 
 if __name__ == "__main__":
