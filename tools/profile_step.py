@@ -111,41 +111,72 @@ def summarize_xspace(path: str, top: int = 45) -> str:
     return "\n".join(out) if out else "(no device planes found in xspace)"
 
 
+def _result_type(rhs: str) -> str:
+    """The result-type portion of an HLO rhs: up to the balanced close
+    paren for tuple types, else the first whitespace token (layout
+    annotations like T(8,128)(2,1) contain parens but no spaces)."""
+    if not rhs.startswith("("):
+        return rhs.split(None, 1)[0]
+    depth = 0
+    for i, c in enumerate(rhs):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return rhs[: i + 1]
+    return rhs
+
+
+_BYTES = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+          "u16": 2, "s16": 2, "pred": 1, "u8": 1, "s8": 1}
+
+
 def _bucket_of(full: str) -> str:
     """Classify one HLO instruction into a profile band, designed to
     DECOMPOSE THE LONG TAIL (VERDICT r3 weak #2): the main bands (matmul/
-    conv/elementwise >=1 MB results) are lumped together; everything small
-    is split by what it is (PRNG bits, masks, LN/softmax stats,
-    reductions, layout copies, scalars)."""
+    conv/elementwise with a >=1 MB result element) are lumped together;
+    async DMA (VMEM prefetch/offload, which OVERLAPS compute) is split
+    out; everything small is split by what it is (PRNG bits, masks,
+    LN/softmax stats, reductions, layout copies, scalars). Tuple results
+    are sized by their LARGEST element."""
     import re
 
     head = full.split(" = ", 1)
     rhs = head[1] if len(head) == 2 else full
-    toks = rhs.split(None, 1)
-    shape = toks[0]
-    kind = toks[1].split("(", 1)[0] if len(toks) > 1 else "?"
+    result = _result_type(rhs)
+    rest = rhs[len(result):].strip()
+    kind = rest.split("(", 1)[0].strip() or "?"
 
-    m = re.match(r"\(?([a-z0-9]+)\[([0-9,]*)\]", shape)
-    dtype, dims = (m.group(1), m.group(2)) if m else ("?", "")
-    sizes = [int(d) for d in dims.split(",") if d] if dims else []
-    elems = int(np.prod(sizes)) if sizes else 1
-    bytes_per = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
-                 "u16": 2, "s16": 2, "pred": 1, "u8": 1, "s8": 1}.get(dtype, 4)
-    nbytes = elems * bytes_per
+    shapes = re.findall(r"([a-z0-9]+)\[([0-9,]*)\]", result)
+    nbytes, dtypes = 0, set()
+    for dtype, dims in shapes:
+        sizes = [int(d) for d in dims.split(",") if d]
+        elems = int(np.prod(sizes)) if sizes else 1
+        nbytes = max(nbytes, elems * _BYTES.get(dtype, 4))
+        dtypes.add(dtype)
+    elems_max = nbytes // max(min(_BYTES.get(d, 4) for d in dtypes)
+                              if dtypes else 4, 1)
 
-    if kind in ("copy", "transpose", "bitcast", "copy-start", "copy-done"):
+    if kind in ("async-start", "async-done", "copy-start", "copy-done",
+                "all-gather-start", "all-gather-done", "all-reduce-start",
+                "all-reduce-done", "send", "recv", "send-done",
+                "recv-done"):
+        return "async DMA/collectives (overlaps compute)"
+    if kind in ("copy", "transpose", "bitcast"):
         return "layout copies"
-    if dtype in ("u32", "u64", "s64", "u16", "u8") or "rng" in full:
+    if dtypes and dtypes <= {"u32", "u64", "s64", "u16", "u8", "s32"} \
+            and nbytes < (1 << 20) or "rng" in full:
         return "tail: PRNG/integer bit math"
-    if dtype == "pred":
+    if dtypes == {"pred"}:
         return "tail: masks (pred)"
     if nbytes >= 1 << 20:
         return "main bands (>=1MB results: matmul/conv/elementwise)"
-    if kind.startswith("reduce") or kind == "all-reduce":
+    if kind.startswith("reduce"):
         return "tail: small reductions"
-    if dtype == "f32" and len(sizes) >= 1 and elems <= 64 * 1024:
+    if "f32" in dtypes and elems_max <= 64 * 1024:
         return "tail: f32 small stats (LN/softmax/loss-land)"
-    if not sizes or elems <= 128:
+    if not shapes or elems_max <= 128:
         return "tail: scalars/control"
     return "tail: other small ops"
 
