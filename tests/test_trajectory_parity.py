@@ -533,3 +533,181 @@ def test_baseline_trajectory_matches_reference(reference_dir, finetune):
             state.params["encoder"],
             convert_hf_state_dict(encoder_t.model.state_dict(), enc_cfg),
             convert_hf_state_dict(hf_model.state_dict(), enc_cfg))
+
+
+# ================================================================ stage 2
+class _NNProxy:
+    """Stand-in for the reference module's `nn` import that wraps
+    BCEWithLogitsLoss with a per-call recorder — per-step losses out of
+    `train_classifier` without touching the reference code."""
+
+    def __init__(self):
+        self.record = []
+
+    def __getattr__(self, k):
+        return getattr(torch.nn, k)
+
+    def BCEWithLogitsLoss(self, **kw):
+        inner = torch.nn.BCEWithLogitsLoss(**kw)
+        rec = self.record
+
+        class _Rec(torch.nn.Module):
+            def forward(self, a, b):
+                out = inner(a, b)
+                rec.append(float(out.detach()))
+                return out
+
+        return _Rec()
+
+
+class _EpochShuffledLoader:
+    """torch-side loader reproducing train_stage2's internal per-epoch
+    shuffle: each iter() advances the SAME np rng sequence
+    (train/stage2.py _batchify with np_rng seeded by cfg.seed)."""
+
+    def __init__(self, x, y, bs, seed):
+        from wav2vec_contr_loss_tpu.train.stage2 import _batchify
+
+        self._batchify = _batchify
+        self.x, self.y, self.bs = x, y, bs
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        xs, ys, _ = self._batchify(self.x, self.y.astype(np.float32),
+                                   self.bs, self.rng)
+        return iter([(torch.from_numpy(xs[i]), torch.from_numpy(ys[i]))
+                     for i in range(xs.shape[0])])
+
+
+@pytest.mark.parametrize("head_type", ["linear", "mlp"])
+def test_stage2_trajectory_matches_reference(reference_dir, tmp_path,
+                                             capsys, head_type):
+    """N epochs of train_stage2 vs the reference's train_classifier
+    (reference: stage2_utils.py:86-237): per-step train losses, per-batch
+    dev losses, dev acc/EER, the best-epoch choice, and the best head's
+    parameter drift must agree. Identical initial weights (init_params
+    injection), identical batch streams (the torch loader replays our
+    shuffle rng). N is divisible by the batch size on both splits —
+    our train path drops a partial tail batch where the reference trains
+    it (drop_last=False, train_stage2_classifier.py:46-50; PARITY.md
+    deviation #11)."""
+    ref_s2 = _load_ref("stage2_utils")
+    proxy = _NNProxy()
+    ref_s2.nn = proxy  # record per-call BCE losses (train AND dev)
+
+    from wav2vec_contr_loss_tpu.config import Stage2Config
+    from wav2vec_contr_loss_tpu.losses import pos_weight_from_labels
+    from wav2vec_contr_loss_tpu.train.stage2 import train_stage2
+
+    rng = np.random.default_rng(11)
+    n_train, n_dev, d, bs, epochs = 64, 32, 16, 8, 4
+
+    def clustered(n, n_pos):
+        y = np.concatenate([np.ones(n_pos), np.zeros(n - n_pos)]
+                           ).astype(np.int64)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        x += 0.6 * y[:, None].astype(np.float32)
+        return x, y
+
+    xtr, ytr = clustered(n_train, 24)  # unbalanced: pos_weight = 40/24
+    xdv, ydv = clustered(n_dev, 16)
+
+    pw_ref = ref_s2.compute_pos_weight(ytr)
+    assert abs(pw_ref - float(pos_weight_from_labels(ytr))) < 1e-9
+
+    # ---------------- torch (reference) side ----------------
+    cfg_ref = types.SimpleNamespace(
+        head_type=head_type, hidden_dim=8, dropout=0.0, lr=5e-3,
+        weight_decay=1e-4, epochs=epochs, patience=100, log_every=10 ** 9,
+        save_dir=str(tmp_path / "ref_ckpt"),
+    )
+    torch.manual_seed(3)
+    clf_probe = ref_s2.build_head(cfg_ref, in_dim=d)  # capture the init
+    init_sd = copy.deepcopy(clf_probe.state_dict())
+
+    train_loader = _EpochShuffledLoader(xtr, ytr, bs, seed=1337)
+    dev_batches = [(torch.from_numpy(xdv[i:i + bs]),
+                    torch.from_numpy(ydv[i:i + bs]).float())
+                   for i in range(0, n_dev, bs)]
+    torch.manual_seed(3)  # train_classifier rebuilds the identical head
+    best_path = ref_s2.train_classifier(
+        cfg_ref, train_loader, dev_batches, torch.device("cpu"),
+        in_dim=d, pos_weight_val=pw_ref, ckpt_cfg={},
+    )
+    printed = capsys.readouterr().out
+    steps_per_epoch = n_train // bs
+    per_epoch = steps_per_epoch + len(dev_batches)
+    ref_train_steps, ref_dev_losses = [], []
+    for e in range(epochs):
+        chunk = proxy.record[e * per_epoch:(e + 1) * per_epoch]
+        ref_train_steps.extend(chunk[:steps_per_epoch])
+        ref_dev_losses.append(
+            float(np.mean(chunk[steps_per_epoch:])))  # equal-size batches
+    ref_best_epochs = [int(line.split("]")[0].split()[-1])
+                       for line in printed.splitlines() if "New best" in line]
+
+    # ---------------- ours ----------------
+    if head_type == "linear":
+        init_params = {"fc": {
+            "kernel": jnp.asarray(init_sd["fc.weight"].numpy().T),
+            "bias": jnp.asarray(init_sd["fc.bias"].numpy())}}
+    else:
+        init_params = {
+            "fc1": {"kernel": jnp.asarray(init_sd["net.0.weight"].numpy().T),
+                    "bias": jnp.asarray(init_sd["net.0.bias"].numpy())},
+            "fc2": {"kernel": jnp.asarray(init_sd["net.3.weight"].numpy().T),
+                    "bias": jnp.asarray(init_sd["net.3.bias"].numpy())},
+        }
+    cfg = Stage2Config(head_type=head_type, hidden_dim=8, dropout=0.0,
+                       lr=5e-3, weight_decay=1e-4, batch_size=bs,
+                       epochs=epochs, patience=100, seed=1337)
+    best_params, history = train_stage2(
+        cfg, xtr, ytr, xdv, ydv, log_fn=lambda *_: None,
+        init_params=init_params)
+
+    # ---------------- assertions ----------------
+    our_steps = np.concatenate(history["step_losses"])
+    np.testing.assert_allclose(
+        our_steps, ref_train_steps, rtol=1e-4, atol=1e-4,
+        err_msg="per-step stage-2 train losses diverged")
+    np.testing.assert_allclose(
+        history["dev_loss"], ref_dev_losses, rtol=1e-4, atol=1e-4,
+        err_msg="per-epoch stage-2 dev losses diverged")
+
+    # dev metrics as printed by the reference (acc 2dp %, eer 2dp %)
+    for e, line in enumerate(
+            l for l in printed.splitlines() if "dev_acc=" in l):
+        ref_acc = float(line.split("dev_acc=")[1].split("%")[0]) / 100
+        assert abs(history["dev_acc"][e] - ref_acc) < 5e-3
+        if "dev_eer=" in line and "N/A" not in line.split("dev_eer=")[1]:
+            ref_eer = float(line.split("dev_eer=")[1].split("%")[0]) / 100
+            # different-but-equivalent EER definitions (sklearn roc_curve
+            # nanargmin vs our tie-group sweep) can land a couple of
+            # threshold steps apart on a tiny dev set; the EER math itself
+            # is bit-exact-tested in tests/test_metrics.py
+            assert abs(history["dev_eer"][e] - ref_eer) <= 2 / n_dev + 1e-4
+
+    # both sides must pick the same best epoch, and the best heads match
+    our_best_epochs = [e + 1 for e in range(epochs)
+                       if e == 0 or history["dev_eer"][e]
+                       < min(history["dev_eer"][:e])]
+    assert ref_best_epochs, "reference never improved — test is vacuous"
+    assert ref_best_epochs[-1] == our_best_epochs[-1], (
+        ref_best_epochs, our_best_epochs)
+    best_sd = torch.load(best_path, weights_only=False)["model_state_dict"]
+    if head_type == "linear":
+        ref_best = {"fc": {"kernel": best_sd["fc.weight"].numpy().T,
+                           "bias": best_sd["fc.bias"].numpy()}}
+    else:
+        ref_best = {
+            "fc1": {"kernel": best_sd["net.0.weight"].numpy().T,
+                    "bias": best_sd["net.0.bias"].numpy()},
+            "fc2": {"kernel": best_sd["net.3.weight"].numpy().T,
+                    "bias": best_sd["net.3.bias"].numpy()},
+        }
+    moved = _tree_l2(ref_best, jax.tree_util.tree_map(np.asarray,
+                                                      init_params))
+    drift = _tree_l2(best_params, ref_best)
+    assert moved > 1e-3, "stage-2 head never moved — test is vacuous"
+    assert drift <= 0.05 * moved + 1e-6, (
+        f"stage-2 best-head drift {drift:.2e} vs movement {moved:.2e}")

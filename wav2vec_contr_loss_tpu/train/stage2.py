@@ -71,13 +71,23 @@ def train_stage2(
     dev_labels: np.ndarray,
     save_dir: Optional[str] = None,
     log_fn=print,
+    init_params: Optional[Dict] = None,
 ) -> Tuple[Dict, Dict]:
     """-> (best head params, history). Early stop on dev EER, patience
-    cfg.patience (reference: stage2_utils.py:98-232)."""
+    cfg.patience (reference: stage2_utils.py:98-232).
+
+    `init_params` warm-starts the head from an existing param tree
+    (e.g. a restored checkpoint, or torch-converted weights — the
+    trajectory-parity oracle uses this); default is a fresh seeded init.
+    History carries per-epoch aggregates plus `step_losses` (one array
+    of per-step train losses per epoch)."""
     head = build_head(cfg.head_type, cfg.hidden_dim, cfg.dropout)
     rng = jax.random.PRNGKey(cfg.seed)
     k_init, k_run = jax.random.split(rng)
-    params = head.init(k_init, jnp.zeros((2, train_embs.shape[1])))["params"]
+    if init_params is not None:
+        params = init_params
+    else:
+        params = head.init(k_init, jnp.zeros((2, train_embs.shape[1])))["params"]
 
     pos_weight = pos_weight_from_labels(train_labels)
     tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
@@ -103,8 +113,8 @@ def train_stage2(
             )
             return (st, total + loss), loss
 
-        (state, total), _ = jax.lax.scan(step, (state, 0.0), (xs, ys))
-        return state, total / xs.shape[0]
+        (state, total), losses = jax.lax.scan(step, (state, 0.0), (xs, ys))
+        return state, total / xs.shape[0], losses
 
     @jax.jit
     def dev_logits_scan(params, xs):
@@ -116,7 +126,8 @@ def train_stage2(
     best_eer, best_dev_loss = float("inf"), float("inf")
     best_params = jax.device_get(state.params)
     epochs_no_improve = 0
-    history = {"train_loss": [], "dev_loss": [], "dev_eer": [], "dev_acc": []}
+    history = {"train_loss": [], "dev_loss": [], "dev_eer": [],
+               "dev_acc": [], "step_losses": []}
 
     dev_x, dev_y, dev_mask = _batchify(dev_embs.astype(np.float32),
                                        dev_labels.astype(np.float32),
@@ -126,8 +137,10 @@ def train_stage2(
         xs, ys, _ = _batchify(train_embs.astype(np.float32),
                               train_labels.astype(np.float32),
                               cfg.batch_size, np_rng)
-        state, train_loss = train_epoch_scan(state, jnp.asarray(xs), jnp.asarray(ys))
+        state, train_loss, step_losses = train_epoch_scan(
+            state, jnp.asarray(xs), jnp.asarray(ys))
         train_loss = float(train_loss)
+        history["step_losses"].append(np.asarray(step_losses))
 
         logits = np.asarray(dev_logits_scan(state.params, jnp.asarray(dev_x)))
         logits = logits.reshape(-1)[dev_mask.reshape(-1)]
