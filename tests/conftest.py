@@ -81,6 +81,7 @@ SLOW_TESTS = {
     "tests/test_sharding.py::test_sequence_parallel_train_step_numerics",
     "tests/test_train_variants.py::test_freeze_feature_extractor",
     "tests/test_trajectory_parity.py::test_baseline_trajectory_matches_reference",
+    "tests/test_trajectory_parity.py::test_multiclass_trajectory_matches_reference",
     "tests/test_trajectory_parity.py::test_stage1_trajectory_matches_reference",
     "tests/test_wav2vec2_parity.py::test_attention_layout_bqhk_matches_bhqk",
     "tests/test_wav2vec2_parity.py::test_bf16_fast_math_knobs_stay_close",

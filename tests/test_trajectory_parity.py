@@ -102,6 +102,7 @@ def _load_ref(name):
     if "data_loader" not in sys.modules:
         stub = types.ModuleType("data_loader")
         stub.ASVspoof2019Dataset = object
+        stub.pad_collate_fn_speaker_source = None
         stub.pad_collate_fn_speaker_source_multiclass = None
         sys.modules["data_loader"] = stub
     sys.path.insert(0, REFERENCE_DIR)
@@ -711,3 +712,122 @@ def test_stage2_trajectory_matches_reference(reference_dir, tmp_path,
     assert moved > 1e-3, "stage-2 head never moved — test is vacuous"
     assert drift <= 0.05 * moved + 1e-6, (
         f"stage-2 best-head drift {drift:.2e} vs movement {moved:.2e}")
+
+
+# ============================================================== multiclass
+def test_multiclass_trajectory_matches_reference(reference_dir):
+    """N epochs of Stage1Trainer(loss_mode='multiclass') vs the
+    reference's multiclass loop (reference: train_multiclass_con.py
+    train_one_epoch:125-180 + evaluate_on_dev:186-214): frozen encoder,
+    head-only AdamW + clip 5.0, SupConMultiClassLoss over attack-id
+    labels. Per-step losses, dev losses, and head drift must agree."""
+    ref_mc = _load_ref("train_multiclass_con")
+    ref_cm = _load_ref("compression_module")
+    ref_loss = _load_ref("loss")
+
+    rng = np.random.default_rng(44)
+    (train_w, _), (dev_w, _) = _make_data(rng)
+    # attack-id labels: bona=0 for the first half (binary 1), attacks 1..3
+    # cycling over the second half (binary 0) — the reference's multiclass
+    # collate contract (collate.py multiclass variant)
+    def multi_of(n):
+        bin_y = np.array(([1] * (n // 2)) + ([0] * (n // 2)), np.int64)
+        multi = np.where(bin_y == 1, 0, 1 + (np.arange(n) % 3)).astype(
+            np.int64)
+        return bin_y, multi
+
+    bin_tr, multi_tr = multi_of(N_TRAIN)
+    bin_dv, multi_dv = multi_of(N_DEV)
+
+    hf_cfg = transformers.Wav2Vec2Config(**TINY_HF_KW)
+    torch.manual_seed(2)
+    hf_model = transformers.Wav2Vec2Model(hf_cfg)
+
+    # ---------------- torch (reference) side ----------------
+    encoder_t = _make_torch_encoder(hf_model, finetune=False)
+    torch.manual_seed(8)
+    comp_t = ref_cm.CompressionModule(
+        input_dim=hf_cfg.hidden_size, hidden_dim=HID, dropout_rate=0.0)
+    loss_t = _RecordingLoss(ref_loss.SupConMultiClassLoss(temperature=0.1))
+    optim_t = torch.optim.AdamW(comp_t.parameters(), lr=HEAD_LR,
+                                weight_decay=WD)
+    comp_init = copy.deepcopy(comp_t.state_dict())
+
+    train_pipe = _ArrayPipe(train_w, bin_tr, B, seed=25)
+    dev_pipe = _ArrayPipe(dev_w, bin_dv, B, seed=26)
+
+    def five_tuple_loader(pipe, waves, multi, epoch):
+        return [
+            (torch.from_numpy(waves[idx]),
+             torch.from_numpy((multi[idx] == 0).astype(np.int64)),
+             torch.from_numpy(multi[idx]), None, None)
+            for idx in pipe.epoch_indices(epoch)
+        ]
+
+    device = torch.device("cpu")
+    ref_step_losses, ref_dev_losses = [], []
+    for epoch in range(1, EPOCHS + 1):
+        ref_mc.train_one_epoch(
+            encoder_t, comp_t, loss_t,
+            five_tuple_loader(train_pipe, train_w, multi_tr, epoch),
+            optim_t, device, epoch, warmup_epochs=1, log_every=10 ** 9)
+        ref_step_losses.extend(loss_t.take())
+        ref_dev_losses.append(ref_mc.evaluate_on_dev(
+            encoder_t, comp_t, loss_t,
+            five_tuple_loader(dev_pipe, dev_w, multi_dv, epoch), device))
+        loss_t.take()
+
+    # ---------------- ours ----------------
+    enc_cfg = config_from_hf(hf_cfg)
+    enc_params = convert_hf_state_dict(hf_model.state_dict(), enc_cfg)
+    cfg = Stage1Config(
+        batch_size=B, max_duration_seconds=SECONDS, target_sample_rate=SR,
+        input_dim=hf_cfg.hidden_size, hidden_dim=HID, dropout=0.0,
+        epochs=EPOCHS, head_lr=HEAD_LR, weight_decay=WD,
+        finetune_encoder=False, seed=0, **EXACT_KNOBS)
+    mesh = _one_device_mesh()
+    trainer = Stage1Trainer(cfg, enc_config=enc_cfg, enc_params=enc_params,
+                            mesh=mesh, loss_mode="multiclass",
+                            multiclass_temperature=0.1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = _graft(state, mesh, compression={"proj": {
+        "kernel": jnp.asarray(comp_init["mlp3.weight"].numpy().T),
+        "bias": jnp.asarray(comp_init["mlp3.bias"].numpy())}})
+
+    our_steps, our_dev = [], []
+    alpha0 = jnp.zeros((), jnp.float32)
+    for epoch in range(1, EPOCHS + 1):
+        for idx in train_pipe.epoch_indices(epoch):
+            batch = {
+                "waveforms": jnp.asarray(train_w[idx]),
+                "labels": jnp.asarray((multi_tr[idx] == 0).astype(np.int32)),
+                "multi_labels": jnp.asarray(multi_tr[idx].astype(np.int32)),
+            }
+            state, m = trainer.train_step(state, batch, alpha0)
+            our_steps.append(m["loss"])
+        dls = []
+        for idx in dev_pipe.epoch_indices(epoch):
+            dls.append(trainer.eval_step(state, {
+                "waveforms": jnp.asarray(dev_w[idx]),
+                "labels": jnp.asarray((multi_dv[idx] == 0).astype(np.int32)),
+                "multi_labels": jnp.asarray(multi_dv[idx].astype(np.int32)),
+            }))
+        our_dev.append(float(np.mean(jax.device_get(dls))))
+    our_steps = [float(x) for x in jax.device_get(our_steps)]
+
+    # ---------------- assertions ----------------
+    np.testing.assert_allclose(
+        our_steps, ref_step_losses, rtol=2e-3, atol=2e-3,
+        err_msg="per-step multiclass losses diverged")
+    np.testing.assert_allclose(
+        our_dev, ref_dev_losses, rtol=2e-3, atol=2e-3,
+        err_msg="multiclass dev losses diverged")
+
+    comp_final_ref = {"proj": _dense_params(comp_t.mlp3)}
+    moved = _tree_l2(comp_final_ref, {"proj": {
+        "kernel": comp_init["mlp3.weight"].numpy().T,
+        "bias": comp_init["mlp3.bias"].numpy()}})
+    drift = _tree_l2(state.params["compression"], comp_final_ref)
+    assert moved > 1e-3, "head never moved — test is vacuous"
+    assert drift <= 0.05 * moved + 1e-6, (
+        f"multiclass head drift {drift:.2e} vs movement {moved:.2e}")
