@@ -127,7 +127,13 @@ def _bench_baseline(args) -> None:
 def _bench_extract(args) -> None:
     """Frozen-encoder embedding extraction (Stage1Trainer.embed_step) —
     device-resident rate; the end-to-end stream (H2D overlap, int16 wire)
-    is measured separately in cli.bench_components/docs/SERVING.md."""
+    is measured separately in cli.bench_components/docs/SERVING.md.
+
+    Dispatches are CHAINED: each step's input data-depends on the whole
+    previous output (sum scaled by 1e-30 — an exact fp32 no-op the
+    compiler cannot fold away), so the final host fetch waits for every
+    step — the same guarantee the train benches get from threading the
+    optimizer state (on axon, block_until_ready alone is unreliable)."""
     import jax
     import jax.numpy as jnp
 
@@ -145,15 +151,21 @@ def _bench_extract(args) -> None:
     t = cfg.max_duration_seconds * cfg.target_sample_rate
     wave = rng.normal(0, 0.2, (bs, t)).astype(np.float32)
     wave[:, 60000:] = 0.0
-    batch = {"waveforms": jnp.asarray(wave)}
-    z_box = [None]
+    wave_j = jnp.asarray(wave)
+
+    @jax.jit
+    def chain_step(params, frozen, wave, carry):
+        z = trainer.embed_step(params, frozen, {"waveforms": wave + carry})
+        return jnp.sum(z, dtype=jnp.float32) * jnp.float32(1e-30)
+
+    carry_box = [jnp.float32(0.0)]
 
     def one():
-        z_box[0] = trainer.embed_step(state.params, state.frozen,
-                                      dict(batch))
+        carry_box[0] = chain_step(state.params, state.frozen, wave_j,
+                                  carry_box[0])
 
     def sync():
-        assert np.isfinite(float(z_box[0][0, 0]))
+        assert np.isfinite(float(carry_box[0]))
 
     def first():
         one()
@@ -181,19 +193,23 @@ def _bench_stage2(args) -> None:
     xs = jnp.asarray(
         np.random.default_rng(0).normal(size=(k, b, d)).astype(np.float32))
 
+    # chained dispatches (see _bench_extract): the carry makes each call
+    # data-depend on the previous one's full output
     @jax.jit
-    def scan_logits(params, xs):
-        return jax.lax.scan(
-            lambda _, x: (0, head.apply({"params": params}, x)), 0, xs
+    def scan_logits(params, xs, carry):
+        out = jax.lax.scan(
+            lambda _, x: (0, head.apply({"params": params}, x + carry)),
+            0, xs,
         )[1]
+        return jnp.sum(out, dtype=jnp.float32) * jnp.float32(1e-30)
 
-    out_box = [None]
+    carry_box = [jnp.float32(0.0)]
 
     def one():
-        out_box[0] = scan_logits(params, xs)
+        carry_box[0] = scan_logits(params, xs, carry_box[0])
 
     def sync():
-        assert np.isfinite(float(out_box[0][0, 0]))
+        assert np.isfinite(float(carry_box[0]))
 
     def first():
         one()
@@ -262,6 +278,18 @@ def main(argv=None) -> None:
     enable_compile_cache(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     if args.mode in ("baseline", "extract", "stage2"):
+        # fixed recipes: reject knobs these modes would silently ignore
+        # (a wrong number must not land in the tracked bench table under
+        # an indistinguishable metric name)
+        allowed = {"mode", "steps", "help"}
+        if args.mode != "stage2":  # stage2's B=256 IS the BASELINE.md row
+            allowed.add("batch_size")
+        for action in ap._actions:
+            if action.dest in allowed:
+                continue
+            if getattr(args, action.dest, action.default) != action.default:
+                ap.error(f"--{action.dest} is not supported by "
+                         f"--mode {args.mode} (fixed recipe)")
         return {"baseline": _bench_baseline, "extract": _bench_extract,
                 "stage2": _bench_stage2}[args.mode](args)
     import jax.numpy as jnp
@@ -304,11 +332,9 @@ def main(argv=None) -> None:
         cfg = cfg.replace(remat_encoder=True, remat_policy=args.remat)
     enc_config = XLSR_300M
     if args.dropout0:
-        cfg = cfg.replace(dropout=0.0)
-        enc_config = enc_config.with_(
-            hidden_dropout=0.0, attention_dropout=0.0,
-            activation_dropout=0.0, feat_proj_dropout=0.0,
-            apply_spec_augment=False)
+        from wav2vec_contr_loss_tpu.config import dropout0_probe
+
+        cfg, enc_config = dropout0_probe(cfg, enc_config)
     trainer = Stage1Trainer(cfg, enc_config=enc_config)
     state = trainer.init_state(jax.random.PRNGKey(0))
 

@@ -92,10 +92,21 @@ SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
+    collected_files = set()
     for item in items:
         base = item.nodeid.split("[")[0]
+        collected_files.add(base.split("::")[0])
         if base in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+            matched.add(base)
+    # staleness guard: an entry whose FILE was collected but whose test
+    # wasn't must be a renamed/removed test — fail loudly so the smoke
+    # tier can't silently absorb a multi-minute test (partial runs that
+    # never collected the file are exempt)
+    stale = {t for t in SLOW_TESTS - matched
+             if t.split("::")[0] in collected_files}
+    assert not stale, f"stale SLOW_TESTS entries (renamed tests?): {stale}"
 
 
 @pytest.fixture(scope="session")

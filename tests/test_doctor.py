@@ -32,6 +32,10 @@ def test_doctor_failing_check_exits_nonzero(capsys, monkeypatch):
 def test_doctor_real_weights_prestage(capsys, monkeypatch, tmp_path):
     """The real-weights reachability check (PARITY.md §real-weights): an
     ingestible $W2V_HF_SNAPSHOT drop is reported, an invalid one FAILS."""
+    # isolate from ambient pre-staged environments (the check reads these)
+    for env in ("W2V_HF_SNAPSHOT", "W2V_ASV19_LA_ROOT", "W2V_ITW_ROOT",
+                "HF_HOME"):
+        monkeypatch.delenv(env, raising=False)
     snap = tmp_path / "snap"
     snap.mkdir()
     (snap / "config.json").write_text("{}")

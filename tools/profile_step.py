@@ -128,8 +128,9 @@ def _result_type(rhs: str) -> str:
     return rhs
 
 
-_BYTES = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
-          "u16": 2, "s16": 2, "pred": 1, "u8": 1, "s8": 1}
+_BYTES = {"f64": 8, "u64": 8, "s64": 8, "f32": 4, "s32": 4, "u32": 4,
+          "bf16": 2, "f16": 2, "u16": 2, "s16": 2, "pred": 1, "u8": 1,
+          "s8": 1}
 
 
 def _bucket_of(full: str) -> str:
@@ -165,12 +166,15 @@ def _bucket_of(full: str) -> str:
         return "async DMA/collectives (overlaps compute)"
     if kind in ("copy", "transpose", "bitcast"):
         return "layout copies"
-    if dtypes and dtypes <= {"u32", "u64", "s64", "u16", "u8", "s32"} \
-            and nbytes < (1 << 20) or "rng" in full:
+    small = nbytes < (1 << 20)
+    # NB: a big fusion merely CONSUMING an %rng operand is main-band
+    # compute; only small integer/rng-producing ops are PRNG tail
+    if small and (dtypes and dtypes <= {"u32", "u64", "s64", "u16", "u8",
+                                        "s32"} or "rng" in full):
         return "tail: PRNG/integer bit math"
     if dtypes == {"pred"}:
         return "tail: masks (pred)"
-    if nbytes >= 1 << 20:
+    if not small:
         return "main bands (>=1MB results: matmul/conv/elementwise)"
     if kind.startswith("reduce"):
         return "tail: small reductions"
@@ -276,11 +280,9 @@ def main() -> None:
         cfg = cfg.replace(remat_encoder=True, remat_policy=args.remat)
     enc_config = XLSR_300M
     if args.dropout0:
-        cfg = cfg.replace(dropout=0.0)
-        enc_config = enc_config.with_(
-            hidden_dropout=0.0, attention_dropout=0.0,
-            activation_dropout=0.0, feat_proj_dropout=0.0,
-            apply_spec_augment=False)
+        from wav2vec_contr_loss_tpu.config import dropout0_probe
+
+        cfg, enc_config = dropout0_probe(cfg, enc_config)
     trainer = Stage1Trainer(cfg, enc_config=enc_config)
     state = trainer.init_state(jax.random.PRNGKey(0))
 

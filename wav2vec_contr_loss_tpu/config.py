@@ -23,6 +23,7 @@ __all__ = [
     "EXPERIMENT_PRESETS",
     "preset",
     "run_tag",
+    "dropout0_probe",
 ]
 
 
@@ -386,3 +387,19 @@ def preset(name: str) -> Stage1Config:
             f"known: {sorted(EXPERIMENT_PRESETS)}"
         )
     return EXPERIMENT_PRESETS[name]
+
+
+def dropout0_probe(cfg, enc_config):
+    """Profiling probe (docs/PROFILE_r4.md): every dropout rate plus
+    SpecAugment off, otherwise identical — the throughput delta vs the
+    default recipe bounds the whole PRNG+mask+apply complex in one
+    number. Shared by bench.py --dropout0 and tools/profile_step.py so
+    the knob set cannot silently diverge. NOT a training config: the
+    reference trains with dropout 0.1 + SpecAugment (parity)."""
+    return (
+        cfg.replace(dropout=0.0),
+        enc_config.with_(
+            hidden_dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, feat_proj_dropout=0.0,
+            apply_spec_augment=False),
+    )

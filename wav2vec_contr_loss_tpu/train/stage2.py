@@ -95,8 +95,7 @@ def train_stage2(
 
     @jax.jit
     def train_epoch_scan(state: Stage2State, xs, ys):
-        def step(carry, xy):
-            st, total = carry
+        def step(st, xy):
             x, y = xy
             k, k_next = jax.random.split(st.rng)
 
@@ -111,10 +110,10 @@ def train_stage2(
                 params=optax.apply_updates(st.params, updates),
                 opt_state=opt_state, rng=k_next,
             )
-            return (st, total + loss), loss
+            return st, loss
 
-        (state, total), losses = jax.lax.scan(step, (state, 0.0), (xs, ys))
-        return state, total / xs.shape[0], losses
+        state, losses = jax.lax.scan(step, state, (xs, ys))
+        return state, jnp.mean(losses), losses
 
     @jax.jit
     def dev_logits_scan(params, xs):
