@@ -129,11 +129,16 @@ def _bench_extract(args) -> None:
     device-resident rate; the end-to-end stream (H2D overlap, int16 wire)
     is measured separately in cli.bench_components/docs/SERVING.md.
 
-    Dispatches are CHAINED: each step's input data-depends on the whole
+    The --steps batched forwards run as ONE dispatched program: a
+    lax.scan whose carry makes every iteration data-depend on the
     previous output (sum scaled by 1e-30 — an exact fp32 no-op the
-    compiler cannot fold away), so the final host fetch waits for every
-    step — the same guarantee the train benches get from threading the
-    optimizer state (on axon, block_until_ready alone is unreliable)."""
+    compiler can neither fold nor hoist out of the loop), so the single
+    final host fetch provably waits for every forward. One dispatch +
+    one scalar fetch also keeps the axon tunnel's per-call dispatch
+    semantics out of the timed window entirely (cross-call chaining
+    measured 22 clips/s — pure tunnel round-trip latency, not TPU
+    time; on axon block_until_ready alone is unreliable the other
+    way)."""
     import jax
     import jax.numpy as jnp
 
@@ -152,27 +157,33 @@ def _bench_extract(args) -> None:
     wave = rng.normal(0, 0.2, (bs, t)).astype(np.float32)
     wave[:, 60000:] = 0.0
     wave_j = jnp.asarray(wave)
+    k = args.steps
 
     @jax.jit
-    def chain_step(params, frozen, wave, carry):
-        z = trainer.embed_step(params, frozen, {"waveforms": wave + carry})
-        return jnp.sum(z, dtype=jnp.float32) * jnp.float32(1e-30)
+    def k_forwards(params, frozen, wave, carry):
+        def body(c, _):
+            z = trainer.embed_step(params, frozen, {"waveforms": wave + c})
+            return jnp.sum(z, dtype=jnp.float32) * jnp.float32(1e-30), ()
 
-    carry_box = [jnp.float32(0.0)]
+        c, _ = jax.lax.scan(body, carry, None, length=k)
+        return c
+
+    out_box = [None]
 
     def one():
-        carry_box[0] = chain_step(state.params, state.frozen, wave_j,
-                                  carry_box[0])
+        out_box[0] = k_forwards(state.params, state.frozen, wave_j,
+                                jnp.float32(0.0))
 
     def sync():
-        assert np.isfinite(float(carry_box[0]))
+        assert np.isfinite(float(out_box[0]))
 
     def first():
         one()
         sync()
 
-    dt = _timed_steps(first, one, sync, args.steps)
-    value = args.steps * bs / dt / jax.device_count()
+    # one timed dispatch covering k serially-dependent forwards
+    dt = _timed_steps(first, one, sync, 1)
+    value = k * bs / dt / jax.device_count()
     _emit("stage1_embedding_extract_throughput", value, "clips/sec/chip",
           A40_BASELINE_CLIPS_PER_SEC)
 
@@ -414,13 +425,27 @@ def _maybe_reexec_on_backend_failure(e: Exception) -> None:
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def _failure_metric_name() -> str:
+    """Best-effort metric name for the failure record (argv may not have
+    parsed yet when the exception fired)."""
+    argv = sys.argv[1:]
+    mode = "finetune"
+    if "--mode" in argv and argv.index("--mode") + 1 < len(argv):
+        mode = argv[argv.index("--mode") + 1]
+    return {
+        "baseline": "baseline_bce_train_throughput",
+        "extract": "stage1_embedding_extract_throughput",
+        "stage2": "stage2_scoring_throughput",
+    }.get(mode, f"stage1_supcon_{mode}_train_throughput")
+
+
 if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # emit a parseable failure record
         _maybe_reexec_on_backend_failure(e)  # only returns if not retrying
         print(json.dumps({
-            "metric": "stage1_supcon_finetune_train_throughput",
+            "metric": _failure_metric_name(),
             "value": 0.0,
             "unit": "clips/sec/chip",
             "vs_baseline": 0.0,
