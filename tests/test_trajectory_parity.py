@@ -831,3 +831,110 @@ def test_multiclass_trajectory_matches_reference(reference_dir):
     assert moved > 1e-3, "head never moved — test is vacuous"
     assert drift <= 0.05 * moved + 1e-6, (
         f"multiclass head drift {drift:.2e} vs movement {moved:.2e}")
+
+
+# ============================================================ from-features
+def test_from_features_trajectory_matches_reference(reference_dir):
+    """N epochs of Stage1Trainer.fit_from_features vs the reference's
+    precomputed-embedding loop (reference: train_stage1_from_emb.py
+    train_one_epoch:116-145 + evaluate:148-161): head-only AdamW with
+    clip 5.0, SupConBinaryLoss with alpha ramp, features fed as
+    (B, F, T') stacks. Per-step losses, dev losses, alpha, and head
+    drift must agree — this closes the fifth and last reference
+    training loop."""
+    ref_fe = _load_ref("train_stage1_from_emb")
+    ref_cm = _load_ref("compression_module")
+    ref_loss = _load_ref("loss")
+    # pin the reference's module-constant knobs to the test recipe
+    ref_fe.TOPK_NEG = 2
+    ref_fe.WARMUP_EPOCHS = 1
+    ref_fe.ALPHA_RAMP_EPOCHS = 2
+    ref_fe.ALPHA_END = 0.8
+
+    rng = np.random.default_rng(45)
+    f_dim, t_frames = 24, 10
+
+    def feats(n):
+        x = rng.normal(size=(n, f_dim, t_frames)).astype(np.float32)
+        y = np.array(([1] * (n // 2)) + ([0] * (n // 2)), np.int64)
+        return x, y
+
+    xtr, ytr = feats(N_TRAIN)
+    xdv, ydv = feats(N_DEV)
+
+    # ---------------- torch (reference) side ----------------
+    torch.manual_seed(17)
+    comp_t = ref_cm.CompressionModule(
+        input_dim=f_dim, hidden_dim=HID, dropout_rate=0.0)
+    loss_t = _RecordingLoss(ref_loss.SupConBinaryLoss(
+        temperature=0.2, similarity="cosine"))
+    optim_t = torch.optim.AdamW(comp_t.parameters(), lr=HEAD_LR,
+                                weight_decay=WD)
+    comp_init = copy.deepcopy(comp_t.state_dict())
+
+    # replay the exact sampler streams fit_from_features builds
+    # internally (seed=cfg.seed train, seed+1 dev)
+    tr_sampler = BalancedBatchSampler(ytr, B, seed=0)
+    dv_sampler = BalancedBatchSampler(ydv, B, seed=1)
+
+    def loader(x, y, sampler, epoch):
+        return [(torch.from_numpy(x[idx]), torch.from_numpy(y[idx]))
+                for idx in sampler.epoch_batches(epoch)]
+
+    device = torch.device("cpu")
+    ref_steps, ref_dev, ref_alphas = [], [], []
+    for epoch in range(1, EPOCHS + 1):
+        _, alpha = ref_fe.train_one_epoch(
+            comp_t, loss_t, loader(xtr, ytr, tr_sampler, epoch), optim_t,
+            device, epoch)
+        ref_alphas.append(alpha)
+        ref_steps.extend(loss_t.take())
+        ref_dev.append(ref_fe.evaluate(
+            comp_t, loss_t, loader(xdv, ydv, dv_sampler, epoch), device))
+        loss_t.take()
+
+    # ---------------- ours ----------------
+    cfg = Stage1Config(
+        batch_size=B, input_dim=f_dim, hidden_dim=HID, dropout=0.0,
+        epochs=EPOCHS, head_lr=HEAD_LR, weight_decay=WD, temperature=0.2,
+        supcon_similarity="cosine", topk_neg=2, warmup_epochs=1,
+        alpha_ramp_epochs=2, alpha_end=0.8, seed=0, **EXACT_KNOBS)
+    mesh = _one_device_mesh()
+    trainer = Stage1Trainer(cfg, mesh=mesh, from_features=True)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = _graft(state, mesh, compression={"proj": {
+        "kernel": jnp.asarray(comp_init["mlp3.weight"].numpy().T),
+        "bias": jnp.asarray(comp_init["mlp3.bias"].numpy())}})
+
+    our_steps = []
+    orig_step = trainer.train_step
+
+    def recording_step(s, batch, alpha):
+        s, m = orig_step(s, batch, alpha)
+        our_steps.append(m["loss"])
+        return s, m
+
+    trainer.train_step = recording_step
+    state, history = trainer.fit_from_features(
+        state, xtr, ytr, dev_features=xdv, dev_labels=ydv,
+        log_fn=lambda *_: None)
+    our_steps = [float(x) for x in jax.device_get(our_steps)]
+
+    # ---------------- assertions ----------------
+    np.testing.assert_allclose(history["alpha"], ref_alphas, atol=1e-9)
+    assert len(our_steps) == len(ref_steps) == EPOCHS * (N_TRAIN // B)
+    np.testing.assert_allclose(
+        our_steps, ref_steps, rtol=5e-4, atol=5e-4,
+        err_msg="per-step from-features losses diverged")
+    np.testing.assert_allclose(
+        history["dev_loss"], ref_dev, rtol=5e-4, atol=5e-4,
+        err_msg="from-features dev losses diverged")
+
+    comp_final_ref = {"proj": _dense_params(comp_t.mlp3)}
+    moved = _tree_l2(comp_final_ref, {"proj": {
+        "kernel": comp_init["mlp3.weight"].numpy().T,
+        "bias": comp_init["mlp3.bias"].numpy()}})
+    drift = _tree_l2(state.params["compression"], comp_final_ref)
+    assert moved > 1e-3, "head never moved — test is vacuous"
+    assert drift <= 0.05 * moved + 1e-6, (
+        f"from-features head drift {drift:.2e} vs movement {moved:.2e}")
