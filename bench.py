@@ -361,48 +361,35 @@ def main(argv=None) -> None:
     }
     alpha = jnp.zeros((), jnp.float32)
 
-    # warmup / compile. NOTE: force a real host fetch — on the remote axon
-    # backend block_until_ready can return before execution completes, so
-    # float() (a device->host value transfer) is the only reliable sync.
-    # The axon remote-compile service is occasionally flaky (HTTP 500 /
-    # broken pipe); retry the first compile a couple of times.
-    last_err = None
-    for attempt in range(3):
-        try:
-            state, metrics = trainer.train_step(state, dict(batch), alpha)
-            warm_loss = float(metrics["loss"])
-            last_err = None
-            break
-        except Exception as e:  # pragma: no cover - service flakiness
-            last_err = e
-            time.sleep(10)
-    if last_err is not None:
-        raise last_err
-    assert np.isfinite(warm_loss), f"warmup loss {warm_loss}"
+    # Steps chain through the donated optimizer state, so the single
+    # final host fetch in sync() waits for the whole timed sequence
+    # (_timed_steps also carries the compile-retry for axon flakiness).
+    state_box = [state]
+    loss_box = [None]
 
-    n_steps = args.steps
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = trainer.train_step(state, dict(batch), alpha)
-    final_loss = float(metrics["loss"])  # forces the whole chained sequence
-    dt = time.perf_counter() - t0
-    assert np.isfinite(final_loss)
+    def one():
+        state_box[0], m = trainer.train_step(state_box[0], dict(batch),
+                                             alpha)
+        loss_box[0] = m["loss"]
 
-    n_chips = jax.device_count()
-    clips_per_sec = n_steps * batch_size / dt
-    value = clips_per_sec / n_chips
+    def sync():
+        got = float(loss_box[0])
+        assert np.isfinite(got), f"loss {got}"
+
+    def first():
+        one()
+        sync()
+
+    dt = _timed_steps(first, one, sync, args.steps)
+    value = args.steps * batch_size / dt / jax.device_count()
     metric = f"stage1_supcon_{args.mode}_train_throughput"
     suffix = "" if args.attention == "xla" else f"_attn_{args.attention}"
     if batch_size != 32:
         suffix += f"_bs{batch_size}"
     if args.dropout0:
         suffix += "_dropout0"
-    print(json.dumps({
-        "metric": metric + suffix,
-        "value": round(value, 2),
-        "unit": "clips/sec/chip",
-        "vs_baseline": round(value / A40_BASELINE_CLIPS_PER_SEC, 3),
-    }))
+    _emit(metric + suffix, value, "clips/sec/chip",
+          A40_BASELINE_CLIPS_PER_SEC)
 
 
 def _maybe_reexec_on_backend_failure(e: Exception) -> None:
