@@ -62,6 +62,7 @@ SLOW_TESTS = {
     "tests/test_quant.py::test_quantized_scorer_preserves_scoring",
     "tests/test_rawboost.py::test_device_batch_invariants",
     "tests/test_rawboost.py::test_fft_fir_matches_direct",
+    "tests/test_serve_socket.py::test_socket_client_reset_mid_stream_never_wedges_shutdown",
     "tests/test_serve_socket.py::test_socket_server_corrupt_path_zero_fallback",
     "tests/test_serve_socket.py::test_socket_server_hostile_input",
     "tests/test_serve_socket.py::test_socket_server_interactive_client",
@@ -102,11 +103,14 @@ def pytest_collection_modifyitems(config, items):
             matched.add(base)
     # staleness guard: an entry whose FILE was collected but whose test
     # wasn't must be a renamed/removed test — fail loudly so the smoke
-    # tier can't silently absorb a multi-minute test (partial runs that
-    # never collected the file are exempt)
-    stale = {t for t in SLOW_TESTS - matched
-             if t.split("::")[0] in collected_files}
-    assert not stale, f"stale SLOW_TESTS entries (renamed tests?): {stale}"
+    # tier can't silently absorb a multi-minute test. Enforced only for
+    # directory-level invocations (the full gate / smoke tier): a
+    # single-nodeid or -k run legitimately collects a file partially.
+    if config.args and all(os.path.isdir(a) for a in config.args):
+        stale = {t for t in SLOW_TESTS - matched
+                 if t.split("::")[0] in collected_files}
+        assert not stale, \
+            f"stale SLOW_TESTS entries (renamed tests?): {stale}"
 
 
 @pytest.fixture(scope="session")

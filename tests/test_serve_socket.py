@@ -418,3 +418,35 @@ def test_socket_server_hostile_input(tiny_scorer, tmp_path):
     finally:
         server.shutdown()
         t.join(timeout=30)
+
+
+def test_socket_client_reset_mid_stream_never_wedges_shutdown(tiny_scorer,
+                                                              tmp_path):
+    """Review r4 deadlock fix: a client that floods requests and then
+    RESETS the connection without reading replies must not wedge the
+    connection's writer/submitter/reader pipeline — the writer keeps
+    draining out_q after the write error, so the handler threads exit and
+    shutdown() returns promptly instead of hanging its 60 s joins."""
+    server = ScoringServer(tiny_scorer, port=0, batch=4, max_wait_ms=30,
+                           workers=2, log_fn=lambda *_: None)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = socket.create_connection(server.address, timeout=60)
+        # nonexistent paths score as silence (zero fallback) — cheap, and
+        # enough lines to overrun the bounded out_q/mid_q stages
+        payload = "".join(f"{tmp_path}/missing_{i:03d}.wav\n"
+                          for i in range(80)).encode()
+        s.sendall(payload)
+        # SO_LINGER(1, 0): close sends RST — subsequent server writes
+        # fail while many replies are still queued
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                     __import__("struct").pack("ii", 1, 0))
+        s.close()
+
+        t0 = time.monotonic()
+        server.shutdown()
+        assert time.monotonic() - t0 < 50, "shutdown wedged on dead client"
+    finally:
+        server.request_stop()
+        t.join(timeout=10)

@@ -292,6 +292,16 @@ class ScoringServer:
             t = threading.Thread(target=self._handle, args=(conn, peer),
                                  daemon=True)
             with self._conn_lock:
+                # a connection accepted in the instant shutdown() runs
+                # must not start a handler against the closing batcher:
+                # either we register before shutdown's snapshot (it gets
+                # drained+joined) or we see the flag here and refuse it
+                if self._shutdown.is_set():
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+                    continue
                 self._conns[t] = conn  # _handle removes itself when done
             t.start()
 
@@ -388,27 +398,37 @@ class ScoringServer:
 
         def writer():
             wfile = conn.makefile("w", encoding="utf-8", newline="\n")
-            try:
-                while True:
-                    entry = out_q.get()
-                    if entry is _STOP:
-                        return
-                    tag, futs = entry
-                    try:
-                        vals = [f.result() for f in futs]
-                        logit = (vals[0] if self._agg is None
-                                 else float(self._agg(vals)))
-                        wfile.write(f"{tag}\t{logit:.6f}\n")
-                    except Exception as e:
-                        wfile.write(f"{tag}\tERROR {type(e).__name__}\n")
-                    wfile.flush()
-            except (BrokenPipeError, ConnectionResetError, OSError):
-                pass  # client went away; drain silently
-            finally:
+            # When the client goes away mid-stream the writer must KEEP
+            # consuming out_q until _STOP: exiting early would leave the
+            # submitter blocked on a full out_q and the reader blocked on
+            # a full mid_q — a permanent deadlock that also wedges
+            # shutdown()'s join. After a write failure the futures are
+            # still resolved (their batcher slots drain) but nothing is
+            # written.
+            broken = False
+            while True:
+                entry = out_q.get()
+                if entry is _STOP:
+                    break
+                tag, futs = entry
                 try:
-                    wfile.close()
-                except OSError:
-                    pass
+                    vals = [f.result() for f in futs]
+                    logit = (vals[0] if self._agg is None
+                             else float(self._agg(vals)))
+                    line = f"{tag}\t{logit:.6f}\n"
+                except Exception as e:
+                    line = f"{tag}\tERROR {type(e).__name__}\n"
+                if broken:
+                    continue
+                try:
+                    wfile.write(line)
+                    wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    broken = True  # client went away; drain silently
+            try:
+                wfile.close()
+            except OSError:
+                pass
 
         st = threading.Thread(target=submitter, daemon=True)
         wt = threading.Thread(target=writer, daemon=True)

@@ -208,19 +208,23 @@ def shard_opt_state(opt_state, sharded_params, tx, mesh: Mesh):
     """Re-layout an EXISTING optimizer state to match sharded params.
 
     Values are preserved (this runs on checkpoint restore too — never
-    re-initialize here); only the placement changes. A jit of `tx.init`
-    over the already-sharded params yields a sharding template via GSPMD
-    propagation; param-independent leaves (e.g. the Adam step count) come
-    out of the template on a single device and are replicated instead."""
+    re-initialize here); only the placement changes. An AOT
+    lower+compile of `tx.init` over the already-sharded params yields
+    the output SHARDINGS via GSPMD propagation WITHOUT executing — the
+    old jit-and-run template materialized a full zero optimizer state on
+    device (≈2x params for Adam) purely to read `.sharding`, a transient
+    HBM spike that could OOM an XLS-R restore on a near-full chip.
+    Param-independent leaves (e.g. the Adam step count) may come out on
+    a sub-mesh and are replicated instead."""
     with mesh:
-        template = jax.jit(tx.init)(sharded_params)
+        shardings = jax.jit(tx.init).lower(sharded_params).compile() \
+            .output_shardings
     mesh_devs = set(mesh.devices.flat)
     rep = NamedSharding(mesh, P())
 
-    def adopt(t, x):
-        sh = getattr(t, "sharding", None)
+    def adopt(sh, x):
         if sh is not None and set(sh.device_set) == mesh_devs:
             return jax.device_put(x, sh)
         return jax.device_put(x, rep)
 
-    return jax.tree_util.tree_map(adopt, template, opt_state)
+    return jax.tree_util.tree_map(adopt, shardings, opt_state)

@@ -60,6 +60,10 @@ _WRITER = None
 _PENDING: list = []
 
 
+class _TornRead(RuntimeError):
+    """A checkpoint directory was swapped out from under a reader."""
+
+
 def _writer():
     global _WRITER
     if _WRITER is None:
@@ -73,12 +77,30 @@ def _writer():
 def _raise_failed_saves() -> None:
     """Re-raise the first exception from a completed async save, pruning
     finished futures. Called on every checkpoint API entry so a failed
-    background write can't be silently swallowed."""
+    background write can't be silently swallowed.
+
+    One pass partitions _PENDING so a future whose done() flips between
+    two scans can't fall through the crack (it would vanish from
+    _PENDING unchecked — a lost ENOSPC); extra failures beyond the first
+    are surfaced on stderr rather than dropped."""
+    import sys
+
     global _PENDING
-    done = [f for f in _PENDING if f.done()]
-    _PENDING = [f for f in _PENDING if not f.done()]
+    done, pending = [], []
+    for f in _PENDING:
+        (done if f.done() else pending).append(f)
+    _PENDING = pending
+    errs = []
     for f in done:
-        f.result()  # raises if the write failed
+        try:
+            f.result()
+        except BaseException as e:
+            errs.append(e)
+    if errs:
+        for extra in errs[1:]:
+            print(f"[checkpoint] additional async save failure: {extra!r}",
+                  file=sys.stderr)
+        raise errs[0]
 
 
 def wait_for_saves() -> None:
@@ -117,15 +139,9 @@ def _host_tree(tree):
     are not fully addressable — `np.asarray` on them raises. Those leaves
     are materialized via `process_allgather` (a collective: ALL processes
     must call `_host_tree`, even the ones that won't write)."""
-    def fetch(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable \
-                and not x.is_fully_replicated:
-            from jax.experimental import multihost_utils
+    from ..parallel.mesh import fetch_global
 
-            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        return np.asarray(x)  # addressable or fully-replicated: direct fetch
-
-    return jax.tree_util.tree_map(fetch, tree)
+    return jax.tree_util.tree_map(fetch_global, tree)
 
 
 def _is_primary() -> bool:
@@ -163,9 +179,21 @@ def _recover(path: str) -> None:
     is the complete previous state. The matching sidecar (staged next to
     the state since ADVICE r2 fix #3) is adopted in the same rename, so a
     recovered checkpoint never pairs new params with a stale config."""
-    if os.path.exists(path):
-        return
     tmp, old = path + ".saving", path + ".replaced"
+    if os.path.exists(path):
+        # a crash between the final state rename and the sidecar replace
+        # strands the NEW sidecar at tmp+'.config.json' while `path`
+        # already holds the new state (and its old sidecar moved to
+        # `.replaced.config.json`): adopt the stranded sidecar before the
+        # caller's stale-cleanup deletes the only copy. Guard: if a
+        # complete `.saving` DIRECTORY also exists, `path` is the OLD
+        # state and the tmp sidecar belongs to tmp — adopting would
+        # mispair, so leave it for the normal no-path recovery to handle.
+        if (not os.path.exists(path + ".config.json")
+                and os.path.exists(tmp + ".config.json")
+                and not os.path.isdir(tmp)):
+            os.replace(tmp + ".config.json", path + ".config.json")
+        return
     # a `.saving` dir WITHOUT its staged sidecar is an in-flight save
     # (Orbax finished, sidecar not yet written) — not adoptable: pairing
     # it with no/stale config is exactly what the staging prevents
@@ -361,15 +389,47 @@ def restore_checkpoint(directory: str, name: str,
     internally (orbax checkpointer.py:310), so in a job with
     `jax.process_count() > 1` EVERY process must call this — which the
     trainers do; a lone polling reader must run as its own single-process
-    job (e.g. eval/serving.py)."""
+    job (e.g. eval/serving.py).
+
+    Reader-vs-writer race (single-process pollers): a writer committing a
+    new save swaps directories under the reader (`rename(path, old);
+    rename(tmp, path); rmtree(old)`), so a restore spanning the swap can
+    silently mix old and new array files, pair old params with the new
+    sidecar, or crash on the vanishing `.replaced` copy. The resolved
+    directory's inode is checked before and after the restore (the swap
+    re-binds the path to a NEW inode); a mismatch or a mid-read
+    disappearance retries against the freshly committed checkpoint.
+    Multi-process jobs keep the single-attempt path — writers there gate
+    saves with barriers, and a divergent per-process retry would desync
+    the collective restore."""
     wait_for_saves()  # same-process read-after-async-write correctness
     path = os.path.abspath(os.path.join(directory, name))
-    resolved = _resolve_readable(path)
-    if resolved is None:
-        raise FileNotFoundError(f"no checkpoint at {path}")
-    state = _checkpointer().restore(resolved, target) if target is not None \
-        else _checkpointer().restore(resolved)
-    return state, _read_sidecar(resolved, path)
+
+    def attempt():
+        resolved = _resolve_readable(path)
+        if resolved is None:
+            raise FileNotFoundError(f"no checkpoint at {path}")
+        ino = os.stat(resolved).st_ino
+        sidecar = _read_sidecar(resolved, path)
+        state = (_checkpointer().restore(resolved, target)
+                 if target is not None else _checkpointer().restore(resolved))
+        if not os.path.isdir(resolved) or os.stat(resolved).st_ino != ino:
+            raise _TornRead(f"checkpoint {resolved} replaced mid-restore")
+        return state, sidecar
+
+    if jax.process_count() > 1:
+        return attempt()
+    last_err: Optional[BaseException] = None
+    for _ in range(3):
+        try:
+            return attempt()
+        except _TornRead as e:
+            last_err = e
+        except (FileNotFoundError, OSError) as e:
+            if _resolve_readable(path) is None:
+                raise  # genuinely absent, not a swap window
+            last_err = e
+    raise last_err
 
 
 def load_sidecar(directory: str, name: str) -> Dict:
