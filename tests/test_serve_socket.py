@@ -434,9 +434,11 @@ def test_socket_client_reset_mid_stream_never_wedges_shutdown(tiny_scorer,
     try:
         s = socket.create_connection(server.address, timeout=60)
         # nonexistent paths score as silence (zero fallback) — cheap, and
-        # enough lines to overrun the bounded out_q/mid_q stages
+        # more lines than out_q's capacity (16 here) so the deadlock
+        # would arm: with the bug, the writer exits on the RST, out_q
+        # fills, and the submitter/reader block forever
         payload = "".join(f"{tmp_path}/missing_{i:03d}.wav\n"
-                          for i in range(80)).encode()
+                          for i in range(24)).encode()
         s.sendall(payload)
         # SO_LINGER(1, 0): close sends RST — subsequent server writes
         # fail while many replies are still queued
@@ -444,9 +446,17 @@ def test_socket_client_reset_mid_stream_never_wedges_shutdown(tiny_scorer,
                      __import__("struct").pack("ii", 1, 0))
         s.close()
 
-        t0 = time.monotonic()
         server.shutdown()
-        assert time.monotonic() - t0 < 50, "shutdown wedged on dead client"
+        # the crisp discriminator (wall time is not: the deadlocked
+        # handler also 'returns' after shutdown's 60 s join timeout):
+        # the handler must have ACTUALLY exited and deregistered itself,
+        # which the wedged pipeline never does
+        deadline = time.monotonic() + 30
+        while server._conns and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert not server._conns, (
+            "handler threads still blocked after shutdown — the "
+            "reset-client drain deadlock is back")
     finally:
         server.request_stop()
         t.join(timeout=10)
