@@ -150,14 +150,17 @@ def _bucket_of(full: str) -> str:
     kind = rest.split("(", 1)[0].strip() or "?"
 
     shapes = re.findall(r"([a-z0-9]+)\[([0-9,]*)\]", result)
-    nbytes, dtypes = 0, set()
+    # elems_max tracks the element count of the byte-largest tuple element
+    # directly (reconstructing it from nbytes / min-dtype-width overcounts
+    # on mixed-dtype tuples and misclassifies small f32 stats)
+    nbytes, elems_max, dtypes = 0, 0, set()
     for dtype, dims in shapes:
         sizes = [int(d) for d in dims.split(",") if d]
         elems = int(np.prod(sizes)) if sizes else 1
-        nbytes = max(nbytes, elems * _BYTES.get(dtype, 4))
+        b = elems * _BYTES.get(dtype, 4)
+        if b > nbytes:
+            nbytes, elems_max = b, elems
         dtypes.add(dtype)
-    elems_max = nbytes // max(min(_BYTES.get(d, 4) for d in dtypes)
-                              if dtypes else 4, 1)
 
     if kind in ("async-start", "async-done", "copy-start", "copy-done",
                 "all-gather-start", "all-gather-done", "all-reduce-start",

@@ -425,7 +425,14 @@ def restore_checkpoint(directory: str, name: str,
             return attempt()
         except _TornRead as e:
             last_err = e
-        except (FileNotFoundError, OSError) as e:
+        except Exception as e:
+            # A mid-swap mixed read can surface as ANY exception type, not
+            # just FileNotFoundError/OSError: orbax raises ValueError/
+            # KeyError when it pairs old and new array files, and a
+            # vanishing sidecar can yield a JSONDecodeError. Retry them
+            # all; a genuinely absent checkpoint still raises immediately,
+            # and a persistent (non-race) error re-raises after the
+            # attempt cap.
             if _resolve_readable(path) is None:
                 raise  # genuinely absent, not a swap window
             last_err = e
