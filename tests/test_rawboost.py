@@ -262,3 +262,60 @@ def test_fft_fir_matches_direct(clip):
     scale = np.abs(out_d).max() + 1e-12
     assert np.abs(out_f - out_d).max() / scale < 5e-4, \
         np.abs(out_f - out_d).max() / scale
+
+
+def test_isd_exact_mask_count_and_uniformity():
+    """isd_mode='exact' (the default) must reproduce the reference's ISD
+    position semantics (reference: RawBoost.py:78-79): exactly
+    n = floor(T*beta/100) positions, a uniformly random subset. Checks the
+    exact count over randomized beta (incl. edge betas) and that positions
+    are not structurally biased (mean position near T/2)."""
+    import jax
+    import jax.numpy as jnp
+    from wav2vec_contr_loss_tpu.ops import rawboost as rbd
+
+    t = 8000
+    mask_fn = jax.jit(
+        lambda k, beta, mode: rbd._isd_hit_mask(k, t, beta, mode),
+        static_argnames=("mode",))
+    rng = np.random.default_rng(7)
+    centers = []
+    for i, beta in enumerate(
+            list(rng.uniform(0.0, 10.0, size=12)) + [0.0, 10.0, 0.009]):
+        key = jax.random.PRNGKey(i)
+        m = np.asarray(mask_fn(key, jnp.float32(beta), "exact"))
+        n_expect = int(t * (beta / 100.0))  # the reference's int() truncation
+        assert m.sum() == n_expect, (beta, m.sum(), n_expect)
+        if n_expect > 50:
+            centers.append(np.mean(np.nonzero(m)[0]))
+    assert centers, "no informative beta draws — widen the range"
+    # uniform subset -> mean position concentrates near t/2
+    assert abs(np.mean(centers) - t / 2) < 0.05 * t, np.mean(centers)
+
+    # the bernoulli fallback flag still works and is key-deterministic
+    mb = np.asarray(mask_fn(jax.random.PRNGKey(3), jnp.float32(5.0),
+                            "bernoulli"))
+    mb2 = np.asarray(mask_fn(jax.random.PRNGKey(3), jnp.float32(5.0),
+                             "bernoulli"))
+    np.testing.assert_array_equal(mb, mb2)
+    assert abs(mb.sum() - t * 0.05) < 4 * np.sqrt(t * 0.05)
+
+
+def test_isd_exact_changes_exactly_n_samples(clip):
+    """End-to-end through _isd: with a zero-free clip and |y|<1 (so
+    norm_wav is the identity), exactly n samples may differ from the
+    input (a measure-zero f_r==0 draw could reduce the count; the seeds
+    here produce none)."""
+    import jax
+    import jax.numpy as jnp
+    from wav2vec_contr_loss_tpu.ops import rawboost as rbd
+
+    x = jnp.asarray(0.2 + 0.1 * np.sin(np.arange(T) / 50.0), jnp.float32)
+    isd = jax.jit(lambda k: rbd._isd(x, k, PARAMS))
+    for seed in range(3):
+        y = np.asarray(isd(jax.random.PRNGKey(seed)))
+        changed = int((y != np.asarray(x)).sum())
+        # recover n from the same key schedule the op uses
+        k_beta = jax.random.split(jax.random.PRNGKey(seed), 4)[0]
+        beta = float(jax.random.uniform(k_beta)) * PARAMS.isd_p
+        assert changed == int(T * beta / 100.0), (seed, changed)

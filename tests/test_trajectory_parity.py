@@ -574,9 +574,13 @@ class _EpochShuffledLoader:
         self.rng = np.random.default_rng(seed)
 
     def __iter__(self):
-        xs, ys, _ = self._batchify(self.x, self.y.astype(np.float32),
-                                   self.bs, self.rng)
-        return iter([(torch.from_numpy(xs[i]), torch.from_numpy(ys[i]))
+        xs, ys, ms = self._batchify(self.x, self.y.astype(np.float32),
+                                    self.bs, self.rng)
+        # trim the zero-padded tail batch back to its real clips — the
+        # torch DataLoader yields the partial batch unpadded
+        # (drop_last=False)
+        return iter([(torch.from_numpy(xs[i][ms[i]]),
+                      torch.from_numpy(ys[i][ms[i]]))
                      for i in range(xs.shape[0])])
 
 
@@ -588,10 +592,11 @@ def test_stage2_trajectory_matches_reference(reference_dir, tmp_path,
     dev losses, dev acc/EER, the best-epoch choice, and the best head's
     parameter drift must agree. Identical initial weights (init_params
     injection), identical batch streams (the torch loader replays our
-    shuffle rng). N is divisible by the batch size on both splits —
-    our train path drops a partial tail batch where the reference trains
-    it (drop_last=False, train_stage2_classifier.py:46-50; PARITY.md
-    deviation #11)."""
+    shuffle rng). N_train is deliberately NOT divisible by the batch
+    size: our train path pads + masks the final partial batch where the
+    reference trains it unpadded (drop_last=False,
+    train_stage2_classifier.py:46-50) — the per-step losses, including
+    the partial batch's, must still agree (deviation #11 removed, r5)."""
     ref_s2 = _load_ref("stage2_utils")
     proxy = _NNProxy()
     ref_s2.nn = proxy  # record per-call BCE losses (train AND dev)
@@ -601,7 +606,7 @@ def test_stage2_trajectory_matches_reference(reference_dir, tmp_path,
     from wav2vec_contr_loss_tpu.train.stage2 import train_stage2
 
     rng = np.random.default_rng(11)
-    n_train, n_dev, d, bs, epochs = 64, 32, 16, 8, 4
+    n_train, n_dev, d, bs, epochs = 70, 32, 16, 8, 4  # tail batch of 6
 
     def clustered(n, n_pos):
         y = np.concatenate([np.ones(n_pos), np.zeros(n - n_pos)]
@@ -610,7 +615,7 @@ def test_stage2_trajectory_matches_reference(reference_dir, tmp_path,
         x += 0.6 * y[:, None].astype(np.float32)
         return x, y
 
-    xtr, ytr = clustered(n_train, 24)  # unbalanced: pos_weight = 40/24
+    xtr, ytr = clustered(n_train, 24)  # unbalanced: pos_weight = 46/24
     xdv, ydv = clustered(n_dev, 16)
 
     pw_ref = ref_s2.compute_pos_weight(ytr)
@@ -636,7 +641,7 @@ def test_stage2_trajectory_matches_reference(reference_dir, tmp_path,
         in_dim=d, pos_weight_val=pw_ref, ckpt_cfg={},
     )
     printed = capsys.readouterr().out
-    steps_per_epoch = n_train // bs
+    steps_per_epoch = -(-n_train // bs)  # ceil: the partial batch trains
     per_epoch = steps_per_epoch + len(dev_batches)
     ref_train_steps, ref_dev_losses = [], []
     for e in range(epochs):

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "practice; the reference trains it — default 0)")
     p.add_argument("--rawboost_fir_impl", type=str, default=None,
                    choices=["direct", "fft"])
+    p.add_argument("--rawboost_isd_mode", type=str, default=None,
+                   choices=["exact", "bernoulli"],
+                   help="device ISD noise-position selection: 'exact' = "
+                        "floor(T*beta/100) random positions (reference "
+                        "semantics); 'bernoulli' = i.i.d. approximation")
     p.add_argument("--attention_layout", type=str, default=None,
                    choices=["bhqk", "bqhk"])
     p.add_argument("--conv_ln_impl", type=str, default=None,
@@ -120,7 +125,8 @@ def config_from_args(args) -> Stage1Config:
               "uniformity_t", "epochs", "batch_size", "head_lr", "enc_lr",
               "weight_decay", "seed", "topk_neg", "warmup_epochs",
               "alpha_end", "alpha_ramp_epochs", "rawboost_prob",
-              "rawboost_mode", "rawboost_fir_impl", "attention_layout",
+              "rawboost_mode", "rawboost_fir_impl", "rawboost_isd_mode",
+              "attention_layout",
               "conv_ln_impl", "param_sharding", "max_duration_seconds",
               "hidden_dim", "input_dim", "wire_dtype", "grad_dtype",
               "pipeline_microbatches"):

@@ -87,6 +87,11 @@ class Stage1Config:
     # FFT), far below the augmentation's own noise floors. 'direct'
     # restores the scipy-identical convolution order in one flag.
     rawboost_fir_impl: str = "fft"
+    # device ISD noise-position selection: 'exact' = exactly
+    # floor(T*beta/100) random positions (the reference semantics,
+    # RawBoost.py:78-79; r5 default — measured ~free on-chip);
+    # 'bernoulli' = the r1-r4 i.i.d. approximation.
+    rawboost_isd_mode: str = "exact"
 
     compute_dtype: str = "bfloat16"     # encoder matmul dtype; loss is fp32
     # TPU execution knobs. The defaults below ARE the measured-good recipe
@@ -325,6 +330,7 @@ class BaselineConfig:
     adam_nu_dtype: str = "bfloat16"   # same adoption as Stage1Config (r3)
     grad_dtype: str = "auto"          # same adoption as Stage1Config (r3)
     rawboost_fir_impl: str = "fft"
+    rawboost_isd_mode: str = "exact"  # see Stage1Config (r5)
     param_sharding: str = "replicated"  # | 'fsdp' (see Stage1Config)
 
     def replace(self, **kw) -> "BaselineConfig":

@@ -72,6 +72,12 @@ class RawBoostParams:
     # rfft/irfft circular convolution — identical linear convolution up to
     # fp32 FFT rounding, ~1e-6 relative)
     fir_impl: str = "direct"
+    # device ISD noise-position selection (ops/rawboost.py only; the host
+    # path always uses the reference's exact permutation subset): 'exact'
+    # (exactly floor(T*beta/100) uniformly random positions, the reference
+    # semantics — RawBoost.py:78-79) | 'bernoulli' (i.i.d. p=beta/100
+    # approximation, the r1-r4 formulation kept as a fallback flag)
+    isd_mode: str = "exact"
 
 
 def norm_wav(x: np.ndarray, always: bool) -> np.ndarray:

@@ -19,17 +19,24 @@ def bce_logits_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
     pos_weight: Optional[float] = None,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """mean_i [ w_p * y_i * softplus(-x_i) + (1 - y_i) * softplus(x_i) ]
 
     Identical to torch.nn.BCEWithLogitsLoss(pos_weight=w_p) with mean
     reduction. `pos_weight` is a static float (neg/pos class ratio).
-    """
+    `mask` (optional, same leading shape as labels) restricts the mean to
+    the valid elements — a zero-padded partial batch then yields exactly
+    the mean over its real elements (the static-shape equivalent of
+    torch's drop_last=False final batch)."""
     x = logits.astype(jnp.float32).reshape(-1)
     y = labels.astype(jnp.float32).reshape(-1)
     w_p = 1.0 if pos_weight is None else float(pos_weight)
     per_example = w_p * y * jax.nn.softplus(-x) + (1.0 - y) * jax.nn.softplus(x)
-    return jnp.mean(per_example)
+    if mask is None:
+        return jnp.mean(per_example)
+    m = mask.astype(jnp.float32).reshape(-1)
+    return jnp.sum(per_example * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def pos_weight_from_labels(labels01) -> float:

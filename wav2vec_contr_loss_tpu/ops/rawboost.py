@@ -16,10 +16,13 @@ Static-shape formulation of the data-dependent pieces
   * the group-delay centering slice becomes a per-clip
     `lax.dynamic_slice` with static size.
 
-One semantic deviation, chosen deliberately for the TPU formulation: ISD
-noise positions are i.i.d. Bernoulli(beta/100) per sample instead of an
-exact floor(T*beta/100)-sized random subset (reference: RawBoost.py:73-84)
-— same expected count, no 80k-element permutation per clip. Everything else
+ISD noise positions use the reference's exact-subset semantics by default
+(`isd_mode='exact'`): exactly floor(T*beta/100) uniformly random positions,
+formulated static-shape as argsort of per-position uniforms (a uniform
+random permutation) + a scatter of `rank < n` (reference:
+RawBoost.py:73-84's `np.random.permutation(x_len)[:n]`).
+`isd_mode='bernoulli'` keeps the earlier i.i.d. Bernoulli(beta/100)
+approximation (same expected count, no per-clip sort). Everything else
 matches the host implementation bit-for-bit given the same uniforms (see
 tests/test_rawboost.py).
 
@@ -185,12 +188,28 @@ def _ssi(x: jnp.ndarray, key: jax.Array, p: RawBoostParams) -> jnp.ndarray:
     return x + noise * scale
 
 
+def _isd_hit_mask(key: jax.Array, t: int, beta: jnp.ndarray,
+                  mode: str) -> jnp.ndarray:
+    """(t,) bool noise-position mask. 'exact' (default): a uniformly
+    random subset of exactly n = floor(t*beta/100) positions, the
+    reference semantics (RawBoost.py:78-79: np.random.permutation(t)[:n])
+    in static shape — per-position uniforms, argsort (= uniform random
+    permutation), scatter of `position-in-permutation < n`. 'bernoulli':
+    the i.i.d. approximation (same expected count, no sort)."""
+    u = jax.random.uniform(key, (t,))
+    if mode == "bernoulli":
+        return u < beta / 100.0
+    n = jnp.floor(t * beta / 100.0).astype(jnp.int32)
+    perm = jnp.argsort(u)
+    return jnp.zeros((t,), bool).at[perm].set(jnp.arange(t) < n)
+
+
 def _isd(x: jnp.ndarray, key: jax.Array, p: RawBoostParams) -> jnp.ndarray:
-    """Impulsive signal-dependent noise (reference: RawBoost.py:73-84),
-    positions i.i.d. Bernoulli(beta/100) — see module docstring."""
+    """Impulsive signal-dependent noise (reference: RawBoost.py:73-84);
+    position selection per p.isd_mode — see module docstring."""
     k_beta, k_pos, k_f1, k_f2 = jax.random.split(key, 4)
     beta = jax.random.uniform(k_beta) * p.isd_p
-    hit = jax.random.uniform(k_pos, x.shape) < beta / 100.0
+    hit = _isd_hit_mask(k_pos, x.shape[0], beta, p.isd_mode)
     f_r = (2.0 * jax.random.uniform(k_f1, x.shape) - 1.0) * (
         2.0 * jax.random.uniform(k_f2, x.shape) - 1.0
     )

@@ -75,6 +75,7 @@ class BaselineTrainer:
         self.rawboost_params = RawBoostParams(
             sample_rate=cfg.target_sample_rate, prob=cfg.rawboost_prob,
             fir_impl=getattr(cfg, "rawboost_fir_impl", "direct"),
+            isd_mode=getattr(cfg, "rawboost_isd_mode", "exact"),
         )
         self._enc_params_init = enc_params
         self._build_steps()

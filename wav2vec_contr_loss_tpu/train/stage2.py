@@ -37,20 +37,16 @@ class Stage2State:
 
 
 def _batchify(x: np.ndarray, y: np.ndarray, batch_size: int, rng=None):
-    """-> (steps, B, ...) device-ready stacks; tail dropped when shuffled
-    (train) or zero-padded + masked (eval)."""
+    """-> (steps, B, ...) device-ready stacks, shuffled when `rng` is
+    given (train) — the final partial batch is zero-padded + masked in
+    BOTH paths, so no clip is ever dropped (the static-shape equivalent
+    of the reference's DataLoader drop_last=False,
+    train_stage2_classifier.py:46-50)."""
     n = x.shape[0]
     batch_size = min(batch_size, n)  # tiny datasets: shrink, don't starve
     if rng is not None:
         order = rng.permutation(n)
         x, y = x[order], y[order]
-        steps = n // batch_size
-        sl = slice(0, steps * batch_size)
-        return (
-            x[sl].reshape(steps, batch_size, -1),
-            y[sl].reshape(steps, batch_size),
-            None,
-        )
     steps = -(-n // batch_size)
     pad = steps * batch_size - n
     xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
@@ -94,15 +90,17 @@ def train_stage2(
     state = Stage2State(params=params, opt_state=tx.init(params), rng=k_run)
 
     @jax.jit
-    def train_epoch_scan(state: Stage2State, xs, ys):
-        def step(st, xy):
-            x, y = xy
+    def train_epoch_scan(state: Stage2State, xs, ys, ms):
+        def step(st, xym):
+            x, y, m = xym
             k, k_next = jax.random.split(st.rng)
 
             def loss_fn(p):
                 logits = head.apply({"params": p}, x, deterministic=False,
                                     rngs={"dropout": k})
-                return bce_logits_loss(logits, y, pos_weight)
+                # masked mean: a padded final batch trains on exactly its
+                # real clips (reference: drop_last=False)
+                return bce_logits_loss(logits, y, pos_weight, mask=m)
 
             loss, grads = jax.value_and_grad(loss_fn)(st.params)
             updates, opt_state = tx.update(grads, st.opt_state, st.params)
@@ -110,10 +108,14 @@ def train_stage2(
                 params=optax.apply_updates(st.params, updates),
                 opt_state=opt_state, rng=k_next,
             )
-            return st, loss
+            return st, (loss, jnp.sum(m))
 
-        state, losses = jax.lax.scan(step, state, (xs, ys))
-        return state, jnp.mean(losses), losses
+        state, (losses, counts) = jax.lax.scan(step, state, (xs, ys, ms))
+        # sample-weighted epoch mean — matches the reference's
+        # total_loss += loss*batch_size; total/n accumulation
+        # (stage2_utils.py:123-130)
+        counts = counts.astype(jnp.float32)
+        return state, jnp.sum(losses * counts) / jnp.sum(counts), losses
 
     @jax.jit
     def dev_logits_scan(params, xs):
@@ -133,11 +135,11 @@ def train_stage2(
                                        cfg.batch_size)
 
     for epoch in range(1, cfg.epochs + 1):
-        xs, ys, _ = _batchify(train_embs.astype(np.float32),
-                              train_labels.astype(np.float32),
-                              cfg.batch_size, np_rng)
+        xs, ys, ms = _batchify(train_embs.astype(np.float32),
+                               train_labels.astype(np.float32),
+                               cfg.batch_size, np_rng)
         state, train_loss, step_losses = train_epoch_scan(
-            state, jnp.asarray(xs), jnp.asarray(ys))
+            state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ms))
         train_loss = float(train_loss)
         history["step_losses"].append(np.asarray(step_losses))
 
