@@ -93,9 +93,36 @@ def test_eval_scores_cli(tmp_path, capsys):
     scores = np.where(labels == 1, rng.normal(2, 1, 130), rng.normal(-2, 1, 130))
     path = str(tmp_path / "score_cm_eval.txt")
     write_cm_scores(path, labels, scores, utt_prefix="asv_eval")
-    eval_scores.main([path, "--tdcf"])
+    eval_scores.main([path, "--tdcf", "--asv_operating_point",
+                      "0.01", "0.01", "0.9"])
     out = capsys.readouterr().out
     assert "EER" in out and "min-tDCF" in out
+
+    # the official path: operating point derived from an ASV score file
+    # at the ASV system's EER threshold (reference: evaluation.py:26-43)
+    asv_path = str(tmp_path / "asv_scores.txt")
+    asv_rng = np.random.default_rng(1)
+    with open(asv_path, "w") as f:
+        for s in asv_rng.normal(3, 1, 40):
+            f.write(f"bonafide target {s}\n")
+        for s in asv_rng.normal(-3, 1, 40):
+            f.write(f"bonafide nontarget {s}\n")
+        for s in asv_rng.normal(-1, 1, 40):
+            f.write(f"A01 spoof {s}\n")
+    eval_scores.main([path, "--tdcf", "--asv_scores", asv_path])
+    out = capsys.readouterr().out
+    assert "ASV EER" in out and "min-tDCF" in out
+
+    # --tdcf without an operating-point source (or with both) fails fast
+    import pytest
+
+    with pytest.raises(SystemExit):
+        eval_scores.main([path, "--tdcf"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        eval_scores.main([path, "--tdcf", "--asv_scores", asv_path,
+                          "--asv_operating_point", "0.01", "0.01", "0.9"])
+    capsys.readouterr()
 
 
 def test_eval_scores_bootstrap_and_by_attack(tmp_path, capsys):

@@ -203,3 +203,53 @@ def test_threshold_at_far(rng):
     assert f0 == 0.0 and a0 == 1.0  # the accept-everything corner
     with pytest.raises(ValueError):
         metrics.threshold_at_far(tar, non, 5.0)
+
+
+def test_asv_operating_point_and_tdcf_hand_computed(tmp_path):
+    """ASV score file -> EER-threshold operating point -> min-tDCF, against
+    a fully hand-computed example (the official methodology the CLI's
+    --asv_scores path implements; reference: evaluation.py:26-43).
+
+    ASV: tar=[2,3,4,5], non=[0,1] -> DET hits frr=far=0 at threshold 1
+    (eer_asv=0); at that threshold pfa_asv=1/2 (the non trial AT 1 is
+    accepted, >=), pmiss_asv=0, pmiss_spoof_asv=1/2 (spoof=[-1,6]).
+    Cost model (ASVspoof2019 LA): c1 = 0.9405*(1-0) - 0.0095*10*0.5
+    = 0.893; c2 = 10*0.05*(1-0.5) = 0.25.
+    CM: bona=[1,3,4,5], spoof=[0,2,2.5] -> the best threshold sits at 0
+    (pmiss_cm=0, pfa_cm=2/3): tdcf_norm = 0.25*(2/3)/0.25 = 2/3."""
+    from wav2vec_contr_loss_tpu.eval import metrics
+
+    asv = tmp_path / "asv_scores.txt"
+    asv.write_text("\n".join([
+        "bonafide target 2.0", "bonafide target 3.0",
+        "bonafide target 4.0", "bonafide target 5.0",
+        "bonafide nontarget 0.0", "bonafide nontarget 1.0",
+        "A01 spoof -1.0", "A02 spoof 6.0", "",
+    ]))
+    tar, non, spoof = metrics.read_asv_score_file(str(asv))
+    assert tar.tolist() == [2, 3, 4, 5]
+    assert non.tolist() == [0, 1] and spoof.tolist() == [-1, 6]
+
+    pfa, pmiss, pmiss_spoof, eer_asv, thr = (
+        metrics.asv_operating_point_from_scores(tar, non, spoof))
+    assert (eer_asv, thr) == (0.0, 1.0)
+    assert (pfa, pmiss, pmiss_spoof) == (0.5, 0.0, 0.5)
+
+    tdcf, _ = metrics.compute_tdcf(
+        np.array([1.0, 3.0, 4.0, 5.0]), np.array([0.0, 2.0, 2.5]),
+        pfa, pmiss, pmiss_spoof)
+    np.testing.assert_allclose(float(tdcf.min()), 2.0 / 3.0, rtol=1e-12)
+
+
+def test_read_asv_score_file_rejects_garbage(tmp_path):
+    from wav2vec_contr_loss_tpu.eval import metrics
+
+    bad_key = tmp_path / "bad_key.txt"
+    bad_key.write_text("bonafide targett 1.0\n")
+    with pytest.raises(ValueError, match="unknown ASV trial keys"):
+        metrics.read_asv_score_file(str(bad_key))
+
+    bad_score = tmp_path / "bad_score.txt"
+    bad_score.write_text("bonafide target notanumber\n")
+    with pytest.raises(ValueError, match="not a score"):
+        metrics.read_asv_score_file(str(bad_score))

@@ -10,10 +10,12 @@ import numpy as np
 
 from ..eval.metrics import (
     ASVSPOOF2019_COST_MODEL,
+    asv_operating_point_from_scores,
     bootstrap_eer_ci,
     calculate_eer_from_file,
     compute_eer,
     compute_tdcf,
+    read_asv_score_file,
     threshold_at_far,
 )
 from ..eval.score import read_score_file
@@ -149,10 +151,23 @@ def main(argv=None) -> None:
     p.add_argument("score_files", nargs="+",
                    help="CM score files, or directories to scan recursively")
     p.add_argument("--tdcf", action="store_true",
-                   help="also report min-tDCF (needs --pfa/--pmiss/--pmiss_spoof)")
-    p.add_argument("--pfa_asv", type=float, default=0.01)
-    p.add_argument("--pmiss_asv", type=float, default=0.01)
-    p.add_argument("--pmiss_spoof_asv", type=float, default=0.9)
+                   help="also report min-tDCF; needs the ASV operating "
+                        "point from --asv_scores (official usage) or "
+                        "--asv_operating_point (explicit escape hatch)")
+    p.add_argument("--asv_scores", metavar="FILE", default=None,
+                   help="ASV score file (official ASVspoof format: key "
+                        "target/nontarget/spoof in the second-to-last "
+                        "column, score last); fixes the ASV operating "
+                        "point at the ASV system's EER threshold, the "
+                        "official t-DCF methodology — min-tDCF values are "
+                        "then comparable to published ASVspoof numbers")
+    p.add_argument("--asv_operating_point", metavar=("PFA", "PMISS",
+                                                     "PMISS_SPOOF"),
+                   type=float, nargs=3, default=None,
+                   help="explicit (pfa_asv, pmiss_asv, pmiss_spoof_asv) "
+                        "fractions when no ASV score file is available; "
+                        "min-tDCF at an invented operating point is NOT "
+                        "comparable to published numbers")
     p.add_argument("--bootstrap", type=int, default=0, metavar="N",
                    help="also report a seeded N-replicate bootstrap 95%% CI")
     p.add_argument("--seed", type=int, default=1337,
@@ -169,6 +184,24 @@ def main(argv=None) -> None:
                         "(percent; repeatable). The EER threshold is always "
                         "included")
     args = p.parse_args(argv)
+
+    asv_point = None
+    if args.tdcf:
+        if (args.asv_scores is None) == (args.asv_operating_point is None):
+            p.error("--tdcf needs exactly one of --asv_scores (official "
+                    "ASV-EER operating point) or --asv_operating_point "
+                    "PFA PMISS PMISS_SPOOF")
+        if args.asv_scores is not None:
+            tar, non, spoof = read_asv_score_file(args.asv_scores)
+            pfa, pmiss, pmiss_spoof, eer_asv, thr = (
+                asv_operating_point_from_scores(tar, non, spoof))
+            print(f"{args.asv_scores}: ASV EER = {eer_asv * 100:.3f}% "
+                  f"(threshold {thr:.6f}) -> operating point "
+                  f"pfa={pfa:.6f} pmiss={pmiss:.6f} "
+                  f"pmiss_spoof={pmiss_spoof:.6f}")
+            asv_point = (pfa, pmiss, pmiss_spoof)
+        else:
+            asv_point = tuple(args.asv_operating_point)
 
     det_curves, det_paths = [], []
     for path in _expand_trees(args.score_files):
@@ -191,8 +224,8 @@ def main(argv=None) -> None:
             line += f" | 95% CI [{lo * 100:.3f}, {hi * 100:.3f}]%"
         if args.tdcf:
             tdcf, _ = compute_tdcf(
-                rec.bonafide_scores, rec.spoof_scores, args.pfa_asv,
-                args.pmiss_asv, args.pmiss_spoof_asv, ASVSPOOF2019_COST_MODEL,
+                rec.bonafide_scores, rec.spoof_scores, *asv_point,
+                ASVSPOOF2019_COST_MODEL,
             )
             line += f" | min-tDCF = {float(tdcf.min()):.5f}"
         print(line)

@@ -26,6 +26,8 @@ __all__ = [
     "bootstrap_eer_ci",
     "eer_threshold_sweep",
     "obtain_asv_error_rates",
+    "read_asv_score_file",
+    "asv_operating_point_from_scores",
     "TDCFCostModel",
     "ASVSPOOF2019_COST_MODEL",
     "compute_tdcf",
@@ -199,6 +201,61 @@ def obtain_asv_error_rates(
         else float(np.sum(spoof_asv < asv_threshold) / spoof_asv.size)
     )
     return pfa_asv, pmiss_asv, pmiss_spoof_asv
+
+
+def read_asv_score_file(
+    path: str,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (target, nontarget, spoof) score arrays from an ASV score file.
+
+    Accepts the official ASVspoof2019 ASV score format (3 whitespace
+    columns: ``<source> <key> <score>``, e.g.
+    ``ASVspoof2019.LA.asv.eval.gi.trl.scores.txt``) and any wider variant
+    with the trial key in the second-to-last column and the score last.
+    Keys must be 'target' / 'nontarget' / 'spoof'.
+    """
+    keys, scores = [], []
+    with open(path) as f:
+        for ln, line in enumerate(f, 1):
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) < 2:
+                raise ValueError(f"{path}:{ln}: need at least <key> <score>")
+            keys.append(parts[-2])
+            try:
+                scores.append(float(parts[-1]))
+            except ValueError:
+                raise ValueError(
+                    f"{path}:{ln}: last column is not a score: {parts[-1]!r}")
+    keys_arr = np.array(keys)
+    scores_arr = np.array(scores, dtype=np.float64)
+    bad = set(keys_arr) - {"target", "nontarget", "spoof"}
+    if bad:
+        raise ValueError(
+            f"{path}: unknown ASV trial keys {sorted(bad)} — expected "
+            "target/nontarget/spoof in the second-to-last column")
+    return (scores_arr[keys_arr == "target"],
+            scores_arr[keys_arr == "nontarget"],
+            scores_arr[keys_arr == "spoof"])
+
+
+def asv_operating_point_from_scores(
+    tar_asv: np.ndarray,
+    non_asv: np.ndarray,
+    spoof_asv: np.ndarray,
+) -> Tuple[float, float, Optional[float], float, float]:
+    """-> (pfa_asv, pmiss_asv, pmiss_spoof_asv, eer_asv, asv_threshold).
+
+    Fixes the ASV operating point at the ASV system's EER threshold over
+    its target/nontarget trials and derives the error rates the t-DCF
+    needs — the official ASVspoof t-DCF usage (reference: evaluation.py:26
+    'fix ASV operating point to EER threshold' and 31-43).
+    """
+    eer_asv, thr = compute_eer(tar_asv, non_asv)
+    pfa, pmiss, pmiss_spoof = obtain_asv_error_rates(
+        tar_asv, non_asv, spoof_asv, thr)
+    return pfa, pmiss, pmiss_spoof, eer_asv, thr
 
 
 @dataclass(frozen=True)
