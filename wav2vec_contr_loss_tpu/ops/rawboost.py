@@ -200,8 +200,21 @@ def _isd_hit_mask(key: jax.Array, t: int, beta: jnp.ndarray,
     if mode == "bernoulli":
         return u < beta / 100.0
     n = jnp.floor(t * beta / 100.0).astype(jnp.int32)
-    perm = jnp.argsort(u)
-    return jnp.zeros((t,), bool).at[perm].set(jnp.arange(t) < n)
+    # Select the n smallest uniforms: one sort finds the n-th smallest
+    # value, a cumsum breaks float-collision ties by position so the
+    # count is EXACTLY n (u has ~2^23 distinct levels, so a few ties per
+    # 80k draws are expected; the first-index tie-break's bias is
+    # immeasurable). Chosen over argsort+scatter (a random-index scatter
+    # over 80k elements serializes on TPU: measured -9.0% step
+    # throughput) and over double key-value sort (-3.3%) — one sort +
+    # one cumsum is the cheapest exact formulation measured.
+    thr = jnp.sort(u)[jnp.maximum(n - 1, 0)]
+    less = u < thr
+    eq = u == thr
+    need = n - jnp.sum(less.astype(jnp.int32))
+    eq_rank = jnp.cumsum(eq.astype(jnp.int32))  # inclusive rank among ties
+    mask = less | (eq & (eq_rank <= need))
+    return jnp.where(n > 0, mask, False)
 
 
 def _isd(x: jnp.ndarray, key: jax.Array, p: RawBoostParams) -> jnp.ndarray:
