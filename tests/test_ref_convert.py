@@ -1,0 +1,335 @@
+"""Reference-trained `.pt` checkpoint ingestion round trip (VERDICT r4
+missing #2).
+
+Each test TRAINS the imported reference loop for a few steps on the tiny
+grafted encoder (the trajectory harness's setup), saves the artifact
+exactly the way the reference does (train_stage1.py:114-129,
+stage2_utils.py:186-207 via the reference's own `train_classifier`,
+baseline_train.py:392-417), converts it with
+`models/ref_convert.convert_reference_checkpoint`, and asserts our
+extractor / scorer reproduces the reference pipeline's embeddings and
+logits from the converted checkpoint — a second end-to-end parity proof
+that needs no network.
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_trajectory_parity import (  # noqa: E402
+    B,
+    ENC_LR,
+    EXACT_KNOBS,
+    HEAD_LR,
+    HID,
+    SECONDS,
+    SR,
+    TINY_HF_KW,
+    WD,
+    _ArrayPipe,
+    _load_ref,
+    _make_data,
+    _make_torch_encoder,
+)
+
+from wav2vec_contr_loss_tpu.models.ref_convert import (  # noqa: E402
+    convert_baseline_checkpoint,
+    convert_reference_checkpoint,
+    convert_stage1_checkpoint,
+    detect_kind,
+)
+
+# geometry + fast-math knobs pinned reference-exact for tight tolerances
+# (the .pt config dicts carry no sample rate — the reference hardcodes
+# 16 kHz; these tests run the 2 kHz tiny setup)
+GEOM = dict(max_duration_seconds=SECONDS, target_sample_rate=SR)
+
+
+def _stage1_ckpt_config(finetune):
+    """The UPPERCASE dict train_stage1 embeds (stage1_config.py:261-283)."""
+    return {
+        "MODEL_NAME": "local-tiny", "RUN_TAG": "local-tiny",
+        "INPUT_DIM": TINY_HF_KW["hidden_size"], "HIDDEN_DIM": HID,
+        "DROPOUT": 0.0, "BATCH_SIZE": B, "HEAD_LR": HEAD_LR,
+        "ENC_LR": ENC_LR, "WEIGHT_DECAY": WD, "TEMPERATURE": 0.2,
+        "TOPK_NEG": 2, "WARMUP_EPOCHS": 1, "ALPHA_END": 0.8,
+        "ALPHA_RAMP_EPOCHS": 2, "USE_RAWBOOST": False,
+        "RAWBOOST_PROB": 0.0, "UNIFORMITY_WEIGHT": 0.0,
+        "UNIFORMITY_T": 2.0, "SUPCON_SIMILARITY": "cosine",
+        "FINETUNE_ENCODER": finetune,
+    }
+
+
+def _train_reference_stage1(finetune, epochs=2):
+    """Run the reference's own train_one_epoch for a few epochs on the
+    grafted tiny encoder -> (hf_cfg, hf_model, encoder_t, comp_t)."""
+    ref_su = _load_ref("stage1_utils")
+    ref_cm = _load_ref("compression_module")
+    ref_loss = _load_ref("loss")
+
+    rng = np.random.default_rng(52)
+    (train_w, train_y), _ = _make_data(rng)
+
+    hf_cfg = transformers.Wav2Vec2Config(**TINY_HF_KW)
+    torch.manual_seed(3)
+    hf_model = transformers.Wav2Vec2Model(hf_cfg)
+    encoder_t = _make_torch_encoder(hf_model, finetune)
+    torch.manual_seed(11)
+    comp_t = ref_cm.CompressionModule(
+        input_dim=hf_cfg.hidden_size, hidden_dim=HID, dropout_rate=0.0)
+    loss_t = ref_loss.SupConBinaryLoss(temperature=0.2, similarity="cosine")
+    groups = [{"params": comp_t.parameters(), "lr": HEAD_LR}]
+    if finetune:
+        groups.append({"params": encoder_t.parameters(), "lr": ENC_LR})
+    optim_t = torch.optim.AdamW(groups, weight_decay=WD)
+    ref_cfg = types.SimpleNamespace(
+        finetune_encoder=finetune, use_rawboost=False, topk_neg=2,
+        warmup_epochs=1, alpha_ramp_epochs=2, alpha_end=0.8,
+        target_sample_rate=SR, rawboost_prob=0.0,
+    )
+    pipe = _ArrayPipe(train_w, train_y, B, seed=5)
+    for epoch in range(1, epochs + 1):
+        ref_su.train_one_epoch(
+            encoder_t, comp_t, loss_t, pipe.torch_loader(epoch), optim_t,
+            torch.device("cpu"), epoch, ref_cfg)
+    return hf_cfg, hf_model, encoder_t, comp_t
+
+
+def _ref_stage1_embeddings(encoder_t, comp_t, waves):
+    """The reference extract pipeline's math
+    (extract_stage1_embeddings.py:147-163)."""
+    encoder_t.eval()
+    comp_t.eval()
+    wt = torch.from_numpy(waves)
+    with torch.no_grad():
+        hs = encoder_t(wt, attention_mask=(wt != 0.0).long())
+        seq = comp_t(hs)
+        z = torch.nn.functional.normalize(seq.mean(dim=-1), p=2, dim=1)
+    return z.numpy()
+
+
+def _our_stage1_embeddings(out_dir, waves):
+    from wav2vec_contr_loss_tpu.train import Stage1Trainer
+
+    trainer, state = Stage1Trainer.from_checkpoint(out_dir, "best")
+    return np.asarray(trainer.embed_step(
+        state.params, state.frozen, {"waveforms": jnp.asarray(waves)}))
+
+
+def test_stage1_finetuned_pt_round_trip(reference_dir, tmp_path):
+    """Finetuned stage-1 .pt (embeds encoder_state_dict): convert with an
+    HF config.json for the architecture; our extractor must reproduce the
+    reference backbone's embeddings from the converted checkpoint."""
+    hf_cfg, _, encoder_t, comp_t = _train_reference_stage1(finetune=True)
+
+    pt = str(tmp_path / "tiny_stage1_head_best.pt")
+    torch.save({
+        "epoch": 2,
+        "compression_state_dict": comp_t.state_dict(),
+        "train_loss": 1.23, "dev_loss": 1.11,
+        "config": _stage1_ckpt_config(True),
+        "encoder_state_dict": encoder_t.state_dict(),
+    }, pt)
+
+    cfg_json = str(tmp_path / "config.json")
+    with open(cfg_json, "w") as f:
+        json.dump(hf_cfg.to_dict(), f)
+
+    out = str(tmp_path / "conv")
+    kind, path = convert_reference_checkpoint(
+        pt, out, hf_config=cfg_json)
+    assert kind == "stage1" and os.path.exists(path)
+    # re-convert with exact-knob overrides for the fp32 parity comparison
+    convert_stage1_checkpoint(
+        pt, out, hf_config=cfg_json,
+        config_overrides={**GEOM, **EXACT_KNOBS})
+
+    rng = np.random.default_rng(9)
+    waves = rng.normal(0, 0.2, (B, SR * SECONDS)).astype(np.float32)
+    waves[::3, -400:] = 0.0
+    z_ref = _ref_stage1_embeddings(encoder_t, comp_t, waves)
+    z_ours = _our_stage1_embeddings(out, waves)
+    np.testing.assert_allclose(z_ours, z_ref, atol=5e-4, rtol=1e-3)
+
+    from wav2vec_contr_loss_tpu.train import checkpoint as ckpt
+
+    sidecar = ckpt.load_sidecar(out, "best")
+    assert sidecar["config"]["FINETUNE_ENCODER"] is True
+    assert sidecar["metrics"]["epoch"] == 2
+
+
+def test_stage1_frozen_pt_round_trip_with_module_prefix(reference_dir,
+                                                        tmp_path):
+    """Frozen stage-1 .pt (no encoder state; DataParallel 'module.'
+    prefixes on the compression head): conversion needs --encoder_init
+    for the pretrained weights, strips the prefixes
+    (reference: extract_stage1_embeddings.py:94-107), and the embeddings
+    must match."""
+    from wav2vec_contr_loss_tpu.models import (
+        config_from_hf,
+        convert_hf_state_dict,
+    )
+    from wav2vec_contr_loss_tpu.models.hf_convert import save_encoder_init
+
+    hf_cfg, hf_model, encoder_t, comp_t = _train_reference_stage1(
+        finetune=False)
+
+    pt = str(tmp_path / "tiny_stage1_head_best.pt")
+    torch.save({
+        "epoch": 2,
+        "compression_state_dict": {
+            f"module.{k}": v for k, v in comp_t.state_dict().items()},
+        "train_loss": 1.0, "dev_loss": 0.9,
+        "config": _stage1_ckpt_config(False),
+    }, pt)
+
+    # a frozen .pt without --encoder_init must fail loudly, not guess
+    with pytest.raises(ValueError, match="encoder_init"):
+        convert_stage1_checkpoint(pt, str(tmp_path / "x"))
+
+    enc_cfg = config_from_hf(hf_cfg)
+    enc_init = str(tmp_path / "enc_init")
+    save_encoder_init(enc_init, enc_cfg,
+                      convert_hf_state_dict(hf_model.state_dict(), enc_cfg))
+
+    out = str(tmp_path / "conv")
+    convert_stage1_checkpoint(
+        pt, out, encoder_init=enc_init,
+        config_overrides={**GEOM, **EXACT_KNOBS})
+
+    rng = np.random.default_rng(10)
+    waves = rng.normal(0, 0.2, (B, SR * SECONDS)).astype(np.float32)
+    waves[1::3, -500:] = 0.0
+    z_ref = _ref_stage1_embeddings(encoder_t, comp_t, waves)
+    z_ours = _our_stage1_embeddings(out, waves)
+    np.testing.assert_allclose(z_ours, z_ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("head_type", ["linear", "mlp"])
+def test_stage2_pt_round_trip(reference_dir, tmp_path, head_type):
+    """Stage-2 head .pt written by the reference's OWN train_classifier:
+    convert, load through cli.generate_scores.load_stage2_head, and the
+    scoring logits must match the torch head bit-for-tolerance."""
+    ref_s2 = _load_ref("stage2_utils")
+
+    rng = np.random.default_rng(5)
+    n, d = 64, 16
+    y = np.array([1] * 40 + [0] * 24)
+    x = (rng.normal(size=(n, d)) + 0.5 * y[:, None]).astype(np.float32)
+
+    cfg_ref = types.SimpleNamespace(
+        head_type=head_type, hidden_dim=8, dropout=0.0, lr=5e-3,
+        weight_decay=1e-4, epochs=3, patience=100, log_every=10 ** 9,
+        save_dir=str(tmp_path / "ref_ckpt"),
+    )
+    loader = [(torch.from_numpy(x[i:i + 16]),
+               torch.from_numpy(y[i:i + 16]).float())
+              for i in range(0, n, 16)]
+    torch.manual_seed(4)
+    best_path = ref_s2.train_classifier(
+        cfg_ref, loader, loader, torch.device("cpu"), in_dim=d,
+        pos_weight_val=24 / 40,
+        ckpt_cfg={"HEAD_TYPE": head_type, "IN_DIM": d, "HIDDEN_DIM": 8,
+                  "DROPOUT": 0.0})
+    assert best_path and os.path.exists(best_path)
+
+    # reference scoring: raw logits (generate_eval_score_file.py:149-166)
+    sd = torch.load(best_path, weights_only=False)
+    assert detect_kind(sd) == "stage2"
+    clf = ref_s2.build_head(cfg_ref, in_dim=d)
+    clf.load_state_dict(sd["model_state_dict"])
+    clf.eval()
+    x_eval = rng.normal(size=(33, d)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = clf(torch.from_numpy(x_eval)).numpy()
+
+    out = str(tmp_path / "conv")
+    kind, _ = convert_reference_checkpoint(best_path, out)
+    assert kind == "stage2"
+
+    from wav2vec_contr_loss_tpu.cli.generate_scores import load_stage2_head
+    from wav2vec_contr_loss_tpu.train.stage2 import stage2_scores
+
+    cfg2, params = load_stage2_head(out)
+    assert cfg2.head_type == head_type and cfg2.in_dim == d
+    ours = stage2_scores(cfg2, params, x_eval)
+    np.testing.assert_allclose(ours, ref_logits, atol=1e-5, rtol=1e-5)
+
+
+def test_baseline_pt_round_trip(reference_dir, tmp_path):
+    """Baseline .pt (full End2EndBCEModel state dict): after a reference
+    training epoch, convert and assert BaselineTrainer.from_checkpoint's
+    scoring logits match the torch model's."""
+    ref_bl = _load_ref("baseline_train")
+    ref_cm = _load_ref("compression_module")
+    ref_loss = _load_ref("loss")
+    ref_bl.USE_RAWBOOST = False
+
+    rng = np.random.default_rng(43)
+    (train_w, train_y), _ = _make_data(rng)
+
+    hf_cfg = transformers.Wav2Vec2Config(**TINY_HF_KW)
+    torch.manual_seed(1)
+    hf_model = transformers.Wav2Vec2Model(hf_cfg)
+    encoder_t = _make_torch_encoder(hf_model, finetune=True)
+    torch.manual_seed(9)
+    comp_t = ref_cm.CompressionModule(
+        input_dim=hf_cfg.hidden_size, hidden_dim=HID, dropout_rate=0.0)
+    model_t = ref_bl.End2EndBCEModel(
+        encoder=encoder_t, compression=comp_t, hidden_dim=HID,
+        finetune_encoder=True)
+    loss_t = ref_loss.BCEBinaryLoss(pos_weight=2.0)
+    optim_t = torch.optim.AdamW(model_t.parameters(), lr=HEAD_LR,
+                                weight_decay=WD)
+    pipe = _ArrayPipe(train_w, train_y, B, seed=15)
+    ref_bl.train_one_epoch(model_t, loss_t, pipe.torch_loader(1), optim_t,
+                           torch.device("cpu"), scaler=None)
+
+    pt = str(tmp_path / "tiny_baseline_bce_best.pt")
+    torch.save({
+        "epoch": 1,
+        "model_state_dict": model_t.state_dict(),
+        "best_eer": 0.07, "train_loss": 0.8, "dev_loss": 0.7,
+        "config": {
+            "MODEL_NAME": "local-tiny",
+            "INPUT_DIM": TINY_HF_KW["hidden_size"], "HIDDEN_DIM": HID,
+            "DROPOUT": 0.0, "enc_lr": ENC_LR, "head_lr": HEAD_LR,
+            "WEIGHT_DECAY": WD, "train_batch_size": B, "dev_batch_size": B,
+            "USE_RAWBOOST": False, "RAWBOOST_PROB": 0.0, "PATIENCE": 10,
+            "FINETUNE_ENCODER": True,
+        },
+    }, pt)
+    assert detect_kind(torch.load(pt, weights_only=False)) == "baseline"
+
+    cfg_json = str(tmp_path / "config.json")
+    with open(cfg_json, "w") as f:
+        json.dump(hf_cfg.to_dict(), f)
+    out = str(tmp_path / "conv")
+    convert_baseline_checkpoint(
+        pt, out, hf_config=cfg_json,
+        config_overrides={**GEOM, **EXACT_KNOBS})
+
+    waves = rng.normal(0, 0.2, (B, SR * SECONDS)).astype(np.float32)
+    waves[::4, -300:] = 0.0
+    model_t.eval()
+    wt = torch.from_numpy(waves)
+    with torch.no_grad():
+        ref_logits, _ = model_t(wt, (wt != 0.0).long())
+    ref_logits = ref_logits.numpy()
+
+    from wav2vec_contr_loss_tpu.train import BaselineTrainer
+
+    trainer, state = BaselineTrainer.from_checkpoint(out)
+    ours = np.asarray(trainer.logits_step(state, jnp.asarray(waves)))
+    np.testing.assert_allclose(ours, ref_logits, atol=1e-3, rtol=1e-3)

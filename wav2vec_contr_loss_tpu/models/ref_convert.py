@@ -1,0 +1,375 @@
+"""Reference-trained torch `.pt` checkpoints -> framework checkpoints.
+
+The reference's reload contract consumes three trained torch artifact
+formats:
+
+  * stage-1: ``{epoch, compression_state_dict, train_loss, dev_loss,
+    config, [encoder_state_dict]}`` written by train_stage1.py:114-129 and
+    reloaded at extract_stage1_embeddings.py:94-163 (including the
+    DataParallel ``module.`` prefix stripping of
+    `load_state_dict_flexible`);
+  * stage-2 head: ``{epoch, model_state_dict, ..., config}`` written by
+    stage2_utils.py:186-207 and reloaded at
+    generate_eval_score_file.py:97-124;
+  * baseline: ``{epoch, model_state_dict, best_eer, ..., config}`` written
+    by baseline_train.py:392-417 and reloaded at
+    eval_baseline_score_file.py:54-74.
+
+This module maps each into the Orbax checkpoints our extractor / scorer /
+server restore natively (`Stage1Trainer.from_checkpoint`,
+`cli.generate_scores.load_stage2_head`, `BaselineTrainer.from_checkpoint`),
+so a reference user's trained models carry over WITHOUT retraining.
+Surfaced as `cli.convert_reference_checkpoint`.
+
+Encoder architecture resolution (the .pt files carry weights but no HF
+config.json): an ``--encoder_init`` directory from
+`cli.convert_hf_checkpoint` supplies both architecture and pretrained
+weights (required for frozen stage-1 checkpoints, which embed no encoder
+state — the reference re-downloads by MODEL_NAME at reload,
+extract_stage1_embeddings.py:117); an ``--hf_config`` config.json supplies
+architecture only; failing both, well-known MODEL_NAME values map to the
+built-in configs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+from ..config import BaselineConfig, Stage1Config, Stage2Config
+from .hf_convert import _np, config_from_hf, convert_hf_state_dict, load_encoder_init
+from .wav2vec2 import LARGE_960H, XLSR_300M, Wav2Vec2Config
+
+__all__ = [
+    "detect_kind",
+    "convert_reference_checkpoint",
+    "convert_stage1_checkpoint",
+    "convert_stage2_checkpoint",
+    "convert_baseline_checkpoint",
+    "stage1_config_from_ckpt_dict",
+]
+
+# MODEL_NAME values of the published runs -> built-in architectures
+# (reference: encoder.py:17 default, train_stage1.sbatch:71 sweeps)
+_KNOWN_MODELS = {
+    "facebook/wav2vec2-xls-r-300m": XLSR_300M,
+    "facebook/wav2vec2-large-960h": LARGE_960H,
+}
+
+
+def _load_pt(path: str) -> Dict:
+    """torch.load a reference checkpoint (host-side, trusted local file —
+    the reference saves with plain pickle, so weights_only must stay off
+    for the embedded config dicts)."""
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _strip_module_prefix(sd: Mapping) -> Dict:
+    """DataParallel 'module.' prefixes (reference:
+    extract_stage1_embeddings.py:94-107 load_state_dict_flexible)."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+
+def detect_kind(ckpt: Mapping) -> str:
+    """'stage1' | 'stage2' | 'baseline' from a loaded .pt dict's keys."""
+    if "compression_state_dict" in ckpt:
+        return "stage1"
+    sd = ckpt.get("model_state_dict")
+    if sd is None:
+        raise ValueError(
+            "unrecognized reference checkpoint: neither "
+            "compression_state_dict (stage-1) nor model_state_dict "
+            "(stage-2 head / baseline) present")
+    if any(k.startswith(("encoder.", "module.encoder.")) for k in sd):
+        return "baseline"
+    return "stage2"
+
+
+# ------------------------------------------------------------ sub-trees
+def convert_compression_state_dict(sd: Mapping) -> Dict:
+    """torch CompressionModule state dict -> our flax params
+    (reference: compression_module.py:30-32 — the only parameters are
+    mlp3.weight/bias; dropout/LeakyReLU are parameter-free)."""
+    sd = _strip_module_prefix(sd)
+    return {"proj": {"kernel": _np(sd["mlp3.weight"]).T,
+                     "bias": _np(sd["mlp3.bias"])}}
+
+
+def convert_head_state_dict(sd: Mapping) -> Tuple[str, Dict]:
+    """torch stage-2 head state dict -> (head_type, flax params)
+    (reference: stage2_utils.py:22-42: LinearBinaryHead 'fc.*',
+    SmallMLPBinaryHead 'net.0/3.*')."""
+    sd = _strip_module_prefix(sd)
+    if "fc.weight" in sd:
+        return "linear", {"fc": {"kernel": _np(sd["fc.weight"]).T,
+                                 "bias": _np(sd["fc.bias"])}}
+    if "net.0.weight" in sd:
+        return "mlp", {
+            "fc1": {"kernel": _np(sd["net.0.weight"]).T,
+                    "bias": _np(sd["net.0.bias"])},
+            "fc2": {"kernel": _np(sd["net.3.weight"]).T,
+                    "bias": _np(sd["net.3.bias"])},
+        }
+    raise ValueError(
+        f"unrecognized stage-2 head state dict (keys: {sorted(sd)[:6]}...)")
+
+
+def convert_encoder_state_dict(sd: Mapping, enc_config: Wav2Vec2Config
+                               ) -> Dict:
+    """Reference Wav2Vec2Encoder wrapper state dict -> our flax params.
+    The wrapper holds the HF model at attribute `model`
+    (reference: encoder.py:21), so keys are 'model.<hf key>'."""
+    sd = _strip_module_prefix(sd)
+    sd = {(k[len("model."):] if k.startswith("model.") else k): v
+          for k, v in sd.items()}
+    return convert_hf_state_dict(sd, enc_config)
+
+
+def _resolve_encoder(
+    encoder_init: Optional[str],
+    hf_config: Optional[str],
+    model_name: Optional[str],
+    need_params: bool,
+) -> Tuple[Wav2Vec2Config, Optional[Dict]]:
+    """-> (architecture config, pretrained params or None)."""
+    if encoder_init is not None:
+        return load_encoder_init(encoder_init)
+    if need_params:
+        raise ValueError(
+            "this checkpoint embeds no encoder weights (frozen-encoder "
+            "run: the reference reloads the pretrained encoder by "
+            "MODEL_NAME at extraction time) — pass --encoder_init "
+            "<dir from convert_hf_checkpoint> to supply them")
+    if hf_config is not None:
+        import json
+
+        from transformers import Wav2Vec2Config as HFConfig
+
+        with open(hf_config) as f:
+            return config_from_hf(HFConfig.from_dict(json.load(f))), None
+    if model_name in _KNOWN_MODELS:
+        return _KNOWN_MODELS[model_name], None
+    raise ValueError(
+        f"cannot resolve the encoder architecture for MODEL_NAME="
+        f"{model_name!r}: pass --encoder_init or --hf_config "
+        f"(known names: {sorted(_KNOWN_MODELS)})")
+
+
+# ------------------------------------------------------------- configs
+def stage1_config_from_ckpt_dict(c: Mapping) -> Stage1Config:
+    """Inverse of Stage1Config.ckpt_config — the reference's UPPERCASE
+    checkpoint config dict (reference: stage1_config.py:261-283) back to
+    our dataclass; keys absent from the dict keep our defaults."""
+    field_map = {
+        "MODEL_NAME": "model_name", "INPUT_DIM": "input_dim",
+        "HIDDEN_DIM": "hidden_dim", "DROPOUT": "dropout",
+        "BATCH_SIZE": "batch_size", "HEAD_LR": "head_lr",
+        "ENC_LR": "enc_lr", "WEIGHT_DECAY": "weight_decay",
+        "TEMPERATURE": "temperature", "TOPK_NEG": "topk_neg",
+        "WARMUP_EPOCHS": "warmup_epochs", "ALPHA_END": "alpha_end",
+        "ALPHA_RAMP_EPOCHS": "alpha_ramp_epochs",
+        "USE_RAWBOOST": "use_rawboost", "RAWBOOST_PROB": "rawboost_prob",
+        "UNIFORMITY_WEIGHT": "uniformity_weight",
+        "UNIFORMITY_T": "uniformity_t",
+        "SUPCON_SIMILARITY": "supcon_similarity",
+        "FINETUNE_ENCODER": "finetune_encoder",
+    }
+    kw = {field_map[k]: v for k, v in c.items() if k in field_map}
+    return Stage1Config(**kw)
+
+
+def _baseline_config_from_ckpt_dict(c: Mapping) -> BaselineConfig:
+    """Reference baseline config dict (baseline_train.py:400-414; note its
+    lowercase enc_lr/head_lr and train_batch_size keys) -> BaselineConfig."""
+    field_map = {
+        "MODEL_NAME": "model_name", "INPUT_DIM": "input_dim",
+        "HIDDEN_DIM": "hidden_dim", "DROPOUT": "dropout",
+        "enc_lr": "enc_lr", "head_lr": "head_lr",
+        "WEIGHT_DECAY": "weight_decay", "train_batch_size": "batch_size",
+        "USE_RAWBOOST": "use_rawboost", "RAWBOOST_PROB": "rawboost_prob",
+        "PATIENCE": "patience", "FINETUNE_ENCODER": "finetune_encoder",
+    }
+    kw = {field_map[k]: v for k, v in c.items() if k in field_map}
+    return BaselineConfig(**kw)
+
+
+# ------------------------------------------------------------ converters
+def convert_stage1_checkpoint(
+    src: str,
+    out_dir: str,
+    encoder_init: Optional[str] = None,
+    hf_config: Optional[str] = None,
+    name: str = "best",
+    config_overrides: Optional[Dict] = None,
+) -> str:
+    """Reference stage-1 .pt -> an Orbax checkpoint directory that
+    `Stage1Trainer.from_checkpoint(out_dir, name)` (and therefore
+    cli.extract_embeddings / the serving stack) restores natively.
+
+    The full Stage1State is synthesized: imported compression (+ encoder,
+    when the .pt embeds a finetuned one) parameters, fresh optimizer
+    state (the reference saves none — train_stage1.py:119-128), step 0.
+    """
+    import jax
+
+    from ..train import checkpoint as ckpt_mod
+    from ..train.stage1 import Stage1Trainer
+
+    ckpt = _load_pt(src)
+    if "compression_state_dict" not in ckpt:
+        raise ValueError(f"{src} is not a reference stage-1 checkpoint")
+    cfg = stage1_config_from_ckpt_dict(ckpt.get("config", {}))
+    if config_overrides:
+        cfg = cfg.replace(**config_overrides)
+    finetuned = "encoder_state_dict" in ckpt
+
+    enc_cfg, enc_params = _resolve_encoder(
+        encoder_init, hf_config, cfg.model_name, need_params=not finetuned)
+    if finetuned:
+        enc_params = convert_encoder_state_dict(
+            ckpt["encoder_state_dict"], enc_cfg)
+    comp_params = convert_compression_state_dict(
+        ckpt["compression_state_dict"])
+
+    trainer = Stage1Trainer(cfg, enc_config=enc_cfg, enc_params=enc_params)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    state = state.replace(
+        params={**state.params,
+                "compression": jax.device_put(comp_params)})
+
+    metrics = {k: ckpt[k] for k in ("epoch", "train_loss", "dev_loss")
+               if k in ckpt}
+    metrics["converted_from"] = os.path.abspath(src)
+    path = ckpt_mod.save_checkpoint(
+        out_dir, name, state, cfg.ckpt_config(), metrics,
+        trainer._sidecar_extra())
+    ckpt_mod.wait_for_saves()
+    return path
+
+
+def convert_stage2_checkpoint(
+    src: str,
+    out_dir: str,
+    name: str = "stage2_binary_head_best",
+) -> str:
+    """Reference stage-2 head .pt -> the checkpoint
+    `cli.generate_scores.load_stage2_head` / `cli.train_stage2` consume."""
+    from ..train import checkpoint as ckpt_mod
+
+    ckpt = _load_pt(src)
+    head_type, params = convert_head_state_dict(ckpt["model_state_dict"])
+    c = ckpt.get("config", {})
+    in_dim = c.get("IN_DIM")
+    if in_dim is None:  # infer from the first layer's kernel
+        first = params["fc" if head_type == "linear" else "fc1"]
+        in_dim = int(np.asarray(first["kernel"]).shape[0])
+    cfg = Stage2Config(
+        head_type=c.get("HEAD_TYPE", head_type),
+        in_dim=int(in_dim),
+        hidden_dim=int(c.get("HIDDEN_DIM", 128)),
+        dropout=float(c.get("DROPOUT", 0.2)),
+    )
+    if cfg.head_type != head_type:
+        raise ValueError(
+            f"checkpoint config says HEAD_TYPE={cfg.head_type} but the "
+            f"state dict is a {head_type} head")
+    metrics = {k: ckpt[k] for k in ("epoch", "train_loss", "dev_loss",
+                                    "dev_acc", "dev_auc", "dev_eer")
+               if k in ckpt and ckpt[k] is not None}
+    metrics["converted_from"] = os.path.abspath(src)
+    path = ckpt_mod.save_checkpoint(out_dir, name, params,
+                                    cfg.ckpt_config(), metrics)
+    ckpt_mod.wait_for_saves()
+    return path
+
+
+def convert_baseline_checkpoint(
+    src: str,
+    out_dir: str,
+    encoder_init: Optional[str] = None,
+    hf_config: Optional[str] = None,
+    name: str = "baseline_best",
+    config_overrides: Optional[Dict] = None,
+) -> str:
+    """Reference baseline .pt (full End2EndBCEModel state dict:
+    encoder.* / compression.* / classifier.*, baseline_train.py:153-176)
+    -> a checkpoint `BaselineTrainer.from_checkpoint(out_dir, name)`
+    (and cli.score_baseline) restores natively. The baseline .pt always
+    embeds the encoder weights, so only the ARCHITECTURE needs resolving.
+    """
+    import jax
+
+    from ..train import checkpoint as ckpt_mod
+    from ..train.baseline import BaselineTrainer
+
+    ckpt = _load_pt(src)
+    sd = _strip_module_prefix(ckpt["model_state_dict"])
+    cfg = _baseline_config_from_ckpt_dict(ckpt.get("config", {}))
+    if config_overrides:
+        cfg = cfg.replace(**config_overrides)
+
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    comp_sd = {k[len("compression."):]: v for k, v in sd.items()
+               if k.startswith("compression.")}
+    if not enc_sd or not comp_sd or "classifier.weight" not in sd:
+        raise ValueError(
+            f"{src} is not a reference baseline checkpoint "
+            "(need encoder.* / compression.* / classifier.*)")
+
+    enc_cfg, _ = _resolve_encoder(encoder_init, hf_config, cfg.model_name,
+                                  need_params=False)
+    enc_params = convert_encoder_state_dict(enc_sd, enc_cfg)
+    comp_params = convert_compression_state_dict(comp_sd)
+    cls_params = {"kernel": _np(sd["classifier.weight"]).T,
+                  "bias": _np(sd["classifier.bias"])}
+
+    trainer = BaselineTrainer(cfg, enc_config=enc_cfg, enc_params=enc_params)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    state = state.replace(
+        params={**state.params,
+                "compression": jax.device_put(comp_params),
+                "classifier": jax.device_put(cls_params)})
+
+    metrics = {k: ckpt[k] for k in ("epoch", "best_eer", "train_loss",
+                                    "dev_loss") if k in ckpt}
+    metrics["converted_from"] = os.path.abspath(src)
+    path = ckpt_mod.save_checkpoint(
+        out_dir, name, state, cfg.ckpt_config(), metrics,
+        trainer._sidecar_extra())
+    ckpt_mod.wait_for_saves()
+    return path
+
+
+def convert_reference_checkpoint(
+    src: str,
+    out_dir: str,
+    kind: str = "auto",
+    encoder_init: Optional[str] = None,
+    hf_config: Optional[str] = None,
+    name: Optional[str] = None,
+) -> Tuple[str, str]:
+    """-> (kind, checkpoint path). Front door: detect the artifact format
+    and dispatch."""
+    if kind == "auto":
+        kind = detect_kind(_load_pt(src))
+    if kind == "stage1":
+        path = convert_stage1_checkpoint(
+            src, out_dir, encoder_init, hf_config, name=name or "best")
+    elif kind == "stage2":
+        path = convert_stage2_checkpoint(
+            src, out_dir, name=name or "stage2_binary_head_best")
+    elif kind == "baseline":
+        path = convert_baseline_checkpoint(
+            src, out_dir, encoder_init, hf_config,
+            name=name or "baseline_best")
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    return kind, path
