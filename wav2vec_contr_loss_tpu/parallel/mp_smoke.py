@@ -7,9 +7,12 @@ collective checkpoint path) had never executed with two real processes.
 This module is the executable claim: the SAME tiny stage-1 training job
 (global balanced sampler -> per-process batch slice ->
 `make_array_from_process_local_data` -> fsdp+tp sharded train steps ->
-collective Orbax checkpoint) run either single-process over 8 local
-devices or as N real `jax.distributed` processes each owning 8/N of them.
-Losses and final parameters must match across the two launch shapes.
+collective Orbax checkpoint), plus a pipeline-parallel segment whose
+inter-stage ppermute collectives cross the process boundary (stage pairs
+interleaved across processes — r5), run either single-process over 8
+local devices or as N real `jax.distributed` processes each owning 8/N of
+them. Losses and final parameters must match across the two launch
+shapes.
 
 Replaces for real what the reference's dead DDP scaffolding intended
 (reference: stage1_utils.py:156-172 — init_process_group code that was
@@ -48,9 +51,9 @@ def run_smoke(ckpt_dir: Optional[str] = None) -> Dict:
 
     Caller is responsible for platform setup (CPU devices and, for the
     multi-process shape, `jax.distributed.initialize`). Returns
-    {"process_count", "losses", "param_sum", "param_l1"}; all collective
-    paths (batch assembly, train step, checkpoint save) execute on every
-    process.
+    {"process_count", "losses", "pp_losses", "param_sum", "param_l1"};
+    all collective paths (batch assembly, fsdp train step, cross-process
+    pipeline-parallel steps, checkpoint save) execute on every process.
     """
     import jax
     import jax.numpy as jnp
@@ -107,6 +110,50 @@ def run_smoke(ckpt_dir: Optional[str] = None) -> Dict:
         state, metrics = trainer.train_step(state, dev_batch, alpha)
         losses.append(float(metrics["loss"]))
 
+    # Pipeline-parallel leg (VERDICT r4 next #6): the SAME job under
+    # param_sharding='pp' on a mesh whose 'model'-axis stage pairs are
+    # INTERLEAVED across processes — in the 2-proc shape every
+    # inter-stage ppermute (activations forward, grads backward,
+    # parallel/pipeline.py) crosses a REAL process boundary, the one
+    # collective+topology combination the fsdp leg never exercises.
+    # Single-process uses the same interleaved order (placement-only), so
+    # the caller's topology-invariance assertions extend to pp.
+    devices = jax.devices()[:N_DEVICES]
+    if jax.process_count() > 1:
+        by_proc: Dict[int, list] = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+        cols = [by_proc[k] for k in sorted(by_proc)]
+        devices = [d for pair in zip(*cols) for d in pair]
+    pp_mesh = make_mesh(n_model=N_MODEL, devices=np.array(devices))
+    pp_trainer = Stage1Trainer(
+        cfg.replace(param_sharding="pp", pipeline_microbatches=2),
+        enc_config=enc_cfg, mesh=pp_mesh)
+    pp_state = pp_trainer.init_state(jax.random.PRNGKey(0))
+
+    # Input assembly for the interleaved mesh: with stage pairs spanning
+    # processes, EVERY process holds a model-column device in EVERY
+    # 'data' row, so each process's addressable portion of a data-sharded
+    # batch is the FULL global batch — `_device_batches`' disjoint
+    # per-process slicing contract does not apply here. Feed the whole
+    # global batch from every process.
+    from .mesh import batch_sharding
+
+    pp_sh = batch_sharding(pp_mesh)
+    pp_losses: List[float] = []
+    for b in batches():
+        dev_batch = {
+            k: jax.make_array_from_process_local_data(pp_sh, np.asarray(v))
+            for k, v in (("waveforms", b.waveforms),
+                         ("labels", b.labels),
+                         ("multi_labels", b.multi_labels))
+        }
+        pp_state, pp_metrics = pp_trainer.train_step(pp_state, dev_batch,
+                                                     alpha)
+        pp_losses.append(float(pp_metrics["loss"]))
+        if len(pp_losses) >= 2:
+            break
+
     from ..train import checkpoint as ckpt
 
     host_params = ckpt._host_tree(state.params)  # collective for fsdp leaves
@@ -150,6 +197,7 @@ def run_smoke(ckpt_dir: Optional[str] = None) -> Dict:
     return {
         "process_count": int(jax.process_count()),
         "losses": losses,
+        "pp_losses": pp_losses,
         "param_sum": param_sum,
         "param_l1": param_l1,
         "preempt_stop": preempt_stop,
