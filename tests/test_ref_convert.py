@@ -48,6 +48,7 @@ from wav2vec_contr_loss_tpu.models.ref_convert import (  # noqa: E402
     convert_reference_checkpoint,
     convert_stage1_checkpoint,
     detect_kind,
+    export_reference_checkpoint,
 )
 
 # geometry + fast-math knobs pinned reference-exact for tight tolerances
@@ -168,6 +169,23 @@ def test_stage1_finetuned_pt_round_trip(reference_dir, tmp_path):
     assert sidecar["config"]["FINETUNE_ENCODER"] is True
     assert sidecar["metrics"]["epoch"] == 2
 
+    # ---- inverse leg: export back to a reference-format .pt and load it
+    # into FRESH reference modules with strict=True (key-layout proof);
+    # the reloaded torch backbone must reproduce the same embeddings
+    kind, pt2 = export_reference_checkpoint(out, str(tmp_path / "back.pt"))
+    assert kind == "stage1"
+    back = torch.load(pt2, weights_only=False)
+    assert back["config"]["FINETUNE_ENCODER"] is True
+    torch.manual_seed(99)  # fresh random weights — the load must win
+    encoder_t2 = _make_torch_encoder(
+        transformers.Wav2Vec2Model(hf_cfg), finetune=True)
+    encoder_t2.load_state_dict(back["encoder_state_dict"], strict=True)
+    comp_t2 = _load_ref("compression_module").CompressionModule(
+        input_dim=hf_cfg.hidden_size, hidden_dim=HID, dropout_rate=0.0)
+    comp_t2.load_state_dict(back["compression_state_dict"], strict=True)
+    z_back = _ref_stage1_embeddings(encoder_t2, comp_t2, waves)
+    np.testing.assert_allclose(z_back, z_ref, atol=2e-5, rtol=1e-4)
+
 
 def test_stage1_frozen_pt_round_trip_with_module_prefix(reference_dir,
                                                         tmp_path):
@@ -266,6 +284,18 @@ def test_stage2_pt_round_trip(reference_dir, tmp_path, head_type):
     ours = stage2_scores(cfg2, params, x_eval)
     np.testing.assert_allclose(ours, ref_logits, atol=1e-5, rtol=1e-5)
 
+    # ---- inverse leg: export back; the reference's own build_head must
+    # strict-load it and produce identical logits
+    kind2, pt2 = export_reference_checkpoint(out, str(tmp_path / "back.pt"))
+    assert kind2 == "stage2"
+    back = torch.load(pt2, weights_only=False)
+    clf2 = ref_s2.build_head(cfg_ref, in_dim=d)
+    clf2.load_state_dict(back["model_state_dict"], strict=True)
+    clf2.eval()
+    with torch.no_grad():
+        back_logits = clf2(torch.from_numpy(x_eval)).numpy()
+    np.testing.assert_allclose(back_logits, ref_logits, atol=1e-6)
+
 
 def test_baseline_pt_round_trip(reference_dir, tmp_path):
     """Baseline .pt (full End2EndBCEModel state dict): after a reference
@@ -333,3 +363,23 @@ def test_baseline_pt_round_trip(reference_dir, tmp_path):
     trainer, state = BaselineTrainer.from_checkpoint(out)
     ours = np.asarray(trainer.logits_step(state, jnp.asarray(waves)))
     np.testing.assert_allclose(ours, ref_logits, atol=1e-3, rtol=1e-3)
+
+    # ---- inverse leg: export back; the reference End2EndBCEModel must
+    # strict-load the full state dict and reproduce the logits
+    kind2, pt2 = export_reference_checkpoint(out, str(tmp_path / "back.pt"))
+    assert kind2 == "baseline"
+    back = torch.load(pt2, weights_only=False)
+    torch.manual_seed(123)
+    enc2 = _make_torch_encoder(transformers.Wav2Vec2Model(hf_cfg),
+                               finetune=True)
+    comp2 = ref_cm.CompressionModule(
+        input_dim=hf_cfg.hidden_size, hidden_dim=HID, dropout_rate=0.0)
+    model2 = ref_bl.End2EndBCEModel(
+        encoder=enc2, compression=comp2, hidden_dim=HID,
+        finetune_encoder=True)
+    model2.load_state_dict(back["model_state_dict"], strict=True)
+    model2.eval()
+    with torch.no_grad():
+        back_logits, _ = model2(wt, (wt != 0.0).long())
+    np.testing.assert_allclose(back_logits.numpy(), ref_logits,
+                               atol=2e-5, rtol=1e-4)

@@ -33,6 +33,7 @@ COMMANDS = {
     "export_serving": ("export_serving", "self-contained serving artifact via jax.export"),
     "convert_hf_checkpoint": ("convert_hf_checkpoint", "offline HF wav2vec2 checkpoint -> Orbax params"),
     "convert_reference_checkpoint": ("convert_reference_checkpoint", "reference-trained .pt (stage-1/stage-2/baseline) -> framework checkpoints"),
+    "export_reference_checkpoint": ("export_reference_checkpoint", "trained checkpoint -> reference-format .pt (stage-1/stage-2/baseline)"),
     "export_hf_checkpoint": ("export_hf_checkpoint", "trained encoder -> HF/torch checkpoint directory"),
     "verify_parity": ("verify_parity", "acceptance harness vs the reference's committed score files"),
     "bench_components": ("bench_components", "on-chip component benchmarks (serving/extract/...)"),

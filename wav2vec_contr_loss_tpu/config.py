@@ -89,10 +89,11 @@ class Stage1Config:
     rawboost_fir_impl: str = "fft"
     # device ISD noise-position selection: 'exact' = exactly
     # floor(T*beta/100) random positions (the reference semantics,
-    # RawBoost.py:78-79; r5 default — sort+cumsum formulation measured
-    # 153.1 vs 155.7 clips/s/chip at the bs=32 finetune recipe, -1.7%,
-    # accepted to close PARITY.md deviation #1); 'bernoulli' restores
-    # the r1-r4 i.i.d. approximation (and the 155.7) in one flag.
+    # RawBoost.py:78-79; r5 default). The adopted 16-step bitwise
+    # threshold search measured 155.4 vs 155.7 clips/s/chip at the
+    # bs=32 finetune recipe — free to noise (naive argsort+scatter
+    # cost -9.0%, sort-based forms -3.3%/-1.7%). 'bernoulli' keeps the
+    # r1-r4 i.i.d. approximation as a fallback flag.
     rawboost_isd_mode: str = "exact"
 
     compute_dtype: str = "bfloat16"     # encoder matmul dtype; loss is fp32

@@ -49,6 +49,10 @@ __all__ = [
     "convert_stage2_checkpoint",
     "convert_baseline_checkpoint",
     "stage1_config_from_ckpt_dict",
+    "export_reference_checkpoint",
+    "export_stage1_checkpoint",
+    "export_stage2_checkpoint",
+    "export_baseline_checkpoint",
 ]
 
 # MODEL_NAME values of the published runs -> built-in architectures
@@ -373,3 +377,183 @@ def convert_reference_checkpoint(
     else:
         raise ValueError(f"unknown kind {kind!r}")
     return kind, path
+
+
+# ----------------------------------------------- export (the inverse leg)
+def _torch_compression_sd(comp_params: Mapping):
+    """Our compression params -> the reference CompressionModule state
+    dict (compression_module.py:30-32: mlp3.weight/bias)."""
+    import torch
+
+    proj = comp_params["proj"]
+    return {
+        "mlp3.weight": torch.from_numpy(
+            np.ascontiguousarray(np.asarray(proj["kernel"], np.float32).T)),
+        "mlp3.bias": torch.from_numpy(np.asarray(proj["bias"], np.float32)),
+    }
+
+
+def _torch_encoder_sd(enc_config, enc_params: Mapping, prefix: str = "model."):
+    """Our encoder params -> the reference Wav2Vec2Encoder wrapper's state
+    dict: the HF Wav2Vec2Model keys under the wrapper's `model.` attribute
+    (reference: encoder.py:21), in the installed torch's weight-norm key
+    layout, dtypes matching a freshly constructed model."""
+    import torch
+    from transformers import Wav2Vec2Model
+
+    from .export_hf import export_hf_state_dict, hf_config_from
+
+    template = Wav2Vec2Model(hf_config_from(enc_config)).state_dict()
+    sd = export_hf_state_dict(enc_config, enc_params, template.keys())
+    out = {}
+    for k, v in sd.items():
+        if k not in template:
+            raise KeyError(f"exported key {k!r} not in Wav2Vec2Model "
+                           "(transformers layout change?)")
+        out[prefix + k] = torch.from_numpy(v).to(template[k].dtype)
+    # untouched buffers/params the flax tree has no counterpart for
+    # (e.g. masked_spec_embed when SpecAugment params were never created)
+    for k, v in template.items():
+        if prefix + k not in out:
+            out[prefix + k] = v
+    return out
+
+
+def export_stage1_checkpoint(src_dir: str, out_pt: str,
+                             name: str = "best") -> str:
+    """Our stage-1 checkpoint -> a reference-format .pt the reference's
+    own reload path consumes (extract_stage1_embeddings.py:94-163):
+    {epoch, compression_state_dict, train_loss, dev_loss, config,
+    [encoder_state_dict if finetuned]} (train_stage1.py:114-129)."""
+    import torch
+
+    from ..train import checkpoint as ckpt_mod
+    from ..train.stage1 import Stage1Trainer
+
+    trainer, state = Stage1Trainer.from_checkpoint(src_dir, name)
+    sidecar = ckpt_mod.load_sidecar(src_dir, name)
+    metrics = sidecar.get("metrics") or {}
+    out = {
+        "epoch": metrics.get("epoch", 0),
+        "compression_state_dict": _torch_compression_sd(
+            state.params["compression"]),
+        "train_loss": metrics.get("train_loss"),
+        "dev_loss": metrics.get("dev_loss"),
+        "config": sidecar.get("config") or trainer.cfg.ckpt_config(),
+    }
+    if trainer.cfg.finetune_encoder:
+        out["encoder_state_dict"] = _torch_encoder_sd(
+            trainer.enc_config, state.params["encoder"])
+    os.makedirs(os.path.dirname(os.path.abspath(out_pt)), exist_ok=True)
+    torch.save(out, out_pt)
+    return out_pt
+
+
+def export_stage2_checkpoint(src_dir: str, out_pt: str,
+                             name: str = "stage2_binary_head_best") -> str:
+    """Our stage-2 head checkpoint -> the reference's head .pt
+    (stage2_utils.py:186-207), loadable by
+    generate_eval_score_file.load_stage2_head."""
+    import torch
+
+    from ..train import checkpoint as ckpt_mod
+
+    params, sidecar = ckpt_mod.restore_checkpoint(src_dir, name)
+    metrics = sidecar.get("metrics") or {}
+    c = sidecar.get("config") or {}
+
+    def t(x):
+        return torch.from_numpy(
+            np.ascontiguousarray(np.asarray(x, np.float32)))
+
+    if "fc" in params:
+        sd = {"fc.weight": t(np.asarray(params["fc"]["kernel"]).T),
+              "fc.bias": t(params["fc"]["bias"])}
+    elif "fc1" in params:
+        sd = {"net.0.weight": t(np.asarray(params["fc1"]["kernel"]).T),
+              "net.0.bias": t(params["fc1"]["bias"]),
+              "net.3.weight": t(np.asarray(params["fc2"]["kernel"]).T),
+              "net.3.bias": t(params["fc2"]["bias"])}
+    else:
+        raise ValueError(f"unrecognized stage-2 head params: {sorted(params)}")
+    out = {
+        "epoch": metrics.get("epoch", 0),
+        "model_state_dict": sd,
+        "train_loss": metrics.get("train_loss"),
+        "dev_loss": metrics.get("dev_loss"),
+        "dev_acc": metrics.get("dev_acc"),
+        "dev_auc": metrics.get("dev_auc"),
+        "dev_eer": metrics.get("dev_eer"),
+        "config": c,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(out_pt)), exist_ok=True)
+    torch.save(out, out_pt)
+    return out_pt
+
+
+def export_baseline_checkpoint(src_dir: str, out_pt: str,
+                               name: str = "baseline_best") -> str:
+    """Our baseline checkpoint -> the reference's full-model .pt
+    (baseline_train.py:392-417), loadable by
+    eval_baseline_score_file.py:54-74's End2EndBCEModel."""
+    import torch
+
+    from ..train import checkpoint as ckpt_mod
+    from ..train.baseline import BaselineTrainer
+
+    trainer, state = BaselineTrainer.from_checkpoint(src_dir, name)
+    sidecar = ckpt_mod.load_sidecar(src_dir, name)
+    metrics = sidecar.get("metrics") or {}
+    enc_params = state.params.get("encoder") or state.frozen["encoder"]
+    sd = _torch_encoder_sd(trainer.enc_config, enc_params,
+                           prefix="encoder.model.")
+    for k, v in _torch_compression_sd(state.params["compression"]).items():
+        sd[f"compression.{k}"] = v
+    cls = state.params["classifier"]
+    sd["classifier.weight"] = torch.from_numpy(
+        np.ascontiguousarray(np.asarray(cls["kernel"], np.float32).T))
+    sd["classifier.bias"] = torch.from_numpy(
+        np.asarray(cls["bias"], np.float32))
+    out = {
+        "epoch": metrics.get("epoch", 0),
+        "model_state_dict": sd,
+        "best_eer": metrics.get("best_eer"),
+        "train_loss": metrics.get("train_loss"),
+        "dev_loss": metrics.get("dev_loss"),
+        "config": sidecar.get("config") or trainer.cfg.ckpt_config(),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(out_pt)), exist_ok=True)
+    torch.save(out, out_pt)
+    return out_pt
+
+
+def export_reference_checkpoint(src_dir: str, out_pt: str,
+                                kind: str = "auto",
+                                name: Optional[str] = None
+                                ) -> Tuple[str, str]:
+    """-> (kind, .pt path). Inverse of convert_reference_checkpoint: our
+    trained checkpoints back to the reference's .pt formats, so models
+    trained here remain consumable by the reference's scripts."""
+    from ..train import checkpoint as ckpt_mod
+
+    if kind == "auto":
+        if name is not None:
+            raise ValueError("--name requires an explicit --kind")
+        for k, default in (("stage1", "best"),
+                           ("stage2", "stage2_binary_head_best"),
+                           ("baseline", "baseline_best")):
+            if ckpt_mod.checkpoint_exists(src_dir, default):
+                kind = k
+                break
+        else:
+            raise FileNotFoundError(
+                f"no best/stage2_binary_head_best/baseline_best "
+                f"checkpoint under {src_dir}")
+    fn = {"stage1": export_stage1_checkpoint,
+          "stage2": export_stage2_checkpoint,
+          "baseline": export_baseline_checkpoint}.get(kind)
+    if fn is None:
+        raise ValueError(f"unknown kind {kind!r}")
+    defaults = {"stage1": "best", "stage2": "stage2_binary_head_best",
+                "baseline": "baseline_best"}
+    return kind, fn(src_dir, out_pt, name=name or defaults[kind])

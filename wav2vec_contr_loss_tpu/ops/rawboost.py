@@ -196,21 +196,31 @@ def _isd_hit_mask(key: jax.Array, t: int, beta: jnp.ndarray,
     in static shape — per-position uniforms, argsort (= uniform random
     permutation), scatter of `position-in-permutation < n`. 'bernoulli':
     the i.i.d. approximation (same expected count, no sort)."""
-    u = jax.random.uniform(key, (t,))
     if mode == "bernoulli":
-        return u < beta / 100.0
+        return jax.random.uniform(key, (t,)) < beta / 100.0
     n = jnp.floor(t * beta / 100.0).astype(jnp.int32)
-    # Select the n smallest uniforms: one sort finds the n-th smallest
-    # value, a cumsum breaks float-collision ties by position so the
-    # count is EXACTLY n (u has ~2^23 distinct levels, so a few ties per
-    # 80k draws are expected; the first-index tie-break's bias is
-    # immeasurable). Chosen over argsort+scatter (a random-index scatter
-    # over 80k elements serializes on TPU: measured -9.0% step
-    # throughput) and over double key-value sort (-3.3%) — one sort +
-    # one cumsum is the cheapest exact formulation measured.
-    thr = jnp.sort(u)[jnp.maximum(n - 1, 0)]
-    less = u < thr
-    eq = u == thr
+    # Select the n smallest of t random u16 keys — equivalent to taking
+    # the first n slots of a uniform random permutation, without a sort:
+    # a 16-step bitwise threshold search (each step one compare+reduce
+    # pass, ~16x5 MB of traffic at t=80k) finds the maximal thr with
+    # count(keys < thr) < n, then a cumsum breaks the threshold-bucket
+    # ties by position so the count is EXACTLY n (~1.2 keys/level at
+    # 80k draws over 2^16 levels; the first-index tie-break only touches
+    # the boundary bucket — bias immeasurable). Measured alternatives at
+    # the bs=32 finetune recipe, all exact: argsort+scatter -9.0%
+    # (random-index scatters serialize on TPU), double key-value sort
+    # -3.3%, f32 sort+cumsum -1.7% (~150 bitonic passes of HBM traffic).
+    bits = jax.random.bits(key, (t,), dtype=jnp.uint16)
+    pows = (2 ** (15 - jnp.arange(16))).astype(jnp.uint16)
+
+    def step(i, thr):
+        cand = thr | pows[i]
+        cnt = jnp.sum((bits < cand).astype(jnp.int32))
+        return jnp.where(cnt < n, cand, thr)
+
+    thr = jax.lax.fori_loop(0, 16, step, jnp.uint16(0))
+    less = bits < thr
+    eq = bits == thr
     need = n - jnp.sum(less.astype(jnp.int32))
     eq_rank = jnp.cumsum(eq.astype(jnp.int32))  # inclusive rank among ties
     mask = less | (eq & (eq_rank <= need))
