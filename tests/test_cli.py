@@ -74,6 +74,34 @@ def test_run_pipeline_cli(cli_corpus, tmp_path):
     eer = calculate_eer_from_file(score_file)
     assert eer <= 10.0  # separable corpus: near-zero, and NOT inverted
 
+    # --stage1_ckpt: an existing checkpoint dir (the
+    # convert_reference_checkpoint handoff) must SKIP the training leg
+    # and still drive extraction -> stage-2 -> scoring to the same EER
+    def boom(*a, **k):
+        raise AssertionError("training leg must be skipped")
+
+    orig = run_pipeline.train_stage1.main
+    run_pipeline.train_stage1.main = boom
+    try:
+        work2 = str(tmp_path / "exp2")
+        run_pipeline.main([
+            "--exp_name", "supcon_temp_0.07",
+            "--model_name", "test/tiny-wav2vec2",
+            "--work_dir", work2,
+            "--stage1_ckpt", os.path.dirname(ckpt),
+            "--train_root", root, "--train_protocol", proto,
+            "--dev_root", root, "--dev_protocol", proto,
+            "--eval_root", root, "--eval_protocol", proto,
+            "--skip_plots",
+            "--stage2_lr", "5e-2", "--stage2_epochs", "40",
+        ])
+    finally:
+        run_pipeline.train_stage1.main = orig
+    score2 = os.path.join(work2, "supcon_temp_0.07", "scores",
+                          "supcon_temp_0.07", tag, "score_cm_eval.txt")
+    assert os.path.exists(score2)
+    assert calculate_eer_from_file(score2) <= 10.0
+
     # attack-type-colored UMAP from the saved multi-labels + attack map
     from wav2vec_contr_loss_tpu.cli import plot_umap
 

@@ -58,6 +58,12 @@ def main(argv=None) -> None:
     p.add_argument("--stage2_patience", type=int, default=None)
     p.add_argument("--stage2_head_type", type=str, default=None,
                    choices=["linear", "mlp"])
+    p.add_argument("--stage1_ckpt", type=str, default=None,
+                   help="use an EXISTING stage-1 checkpoint directory "
+                        "(e.g. written by convert_reference_checkpoint "
+                        "from a reference-trained .pt) and skip the "
+                        "training leg — extraction/stage-2/scoring/EER "
+                        "still run")
     p.add_argument("--skip_plots", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="resume stage-1 from its latest checkpoint (incl. "
@@ -87,22 +93,27 @@ def main(argv=None) -> None:
             out += [f"--{n}", getattr(args, n)]
         return out
 
-    # 1) stage-1
-    s1 = ["--preset", args.exp_name, "--model_name", args.model_name,
-          "--encoder_init", args.encoder_init, "--save_dir", ckpt_base]
-    s1 += paths("train_root", "train_protocol", "dev_root", "dev_protocol")
-    if args.num_samples is not None:
-        s1 += ["--num_samples", args.num_samples]
-    for flag in ("epochs", "batch_size", "max_duration_seconds",
-                 "input_dim", "hidden_dim"):
-        v = getattr(args, flag)
-        if v is not None:
-            s1 += [f"--{flag}", str(v)]
-    if args.resume:
-        s1 += ["--resume"]
-    if args.cache_waveforms:
-        s1 += ["--cache_waveforms", args.cache_waveforms]
-    train_stage1.main(s1)
+    # 1) stage-1 (skipped when an existing checkpoint is supplied, e.g.
+    # one converted from a reference-trained .pt)
+    if args.stage1_ckpt:
+        ckpt_dir = args.stage1_ckpt
+    else:
+        s1 = ["--preset", args.exp_name, "--model_name", args.model_name,
+              "--encoder_init", args.encoder_init, "--save_dir", ckpt_base]
+        s1 += paths("train_root", "train_protocol", "dev_root",
+                    "dev_protocol")
+        if args.num_samples is not None:
+            s1 += ["--num_samples", args.num_samples]
+        for flag in ("epochs", "batch_size", "max_duration_seconds",
+                     "input_dim", "hidden_dim"):
+            v = getattr(args, flag)
+            if v is not None:
+                s1 += [f"--{flag}", str(v)]
+        if args.resume:
+            s1 += ["--resume"]
+        if args.cache_waveforms:
+            s1 += ["--cache_waveforms", args.cache_waveforms]
+        train_stage1.main(s1)
 
     # 2) extraction (train/dev/eval/itw as provided). --num_samples is
     # forwarded so a smoke run subsets EVERY leg, not just training —
