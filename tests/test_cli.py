@@ -151,6 +151,31 @@ def test_eval_scores_cli(tmp_path, capsys):
         eval_scores.main([path, "--tdcf", "--asv_scores", asv_path,
                           "--asv_operating_point", "0.01", "0.01", "0.9"])
     capsys.readouterr()
+    # ...and an operating-point source WITHOUT --tdcf is a loud error,
+    # not silently ignored work
+    with pytest.raises(SystemExit):
+        eval_scores.main([path, "--asv_scores", asv_path])
+    capsys.readouterr()
+
+
+def test_run_pipeline_stage1_ckpt_rejects_training_flags(capsys):
+    """--stage1_ckpt skips the training leg; combining it with flags
+    that only configure training must error, not silently drop them."""
+    import pytest
+
+    from wav2vec_contr_loss_tpu.cli import run_pipeline
+
+    with pytest.raises(SystemExit) as e:
+        run_pipeline.main([
+            "--exp_name", "supcon_temp_0.07",
+            "--stage1_ckpt", "/some/ckpt",
+            "--epochs", "10", "--resume",
+        ])
+    assert e.value.code == 2
+    err = capsys.readouterr().err
+    assert "--epochs" in err and "--resume" in err
+    assert "stage1_ckpt skips" in err.replace("--", "").replace("`", "") \
+        or "TRAINING" in err
 
 
 def test_eval_scores_bootstrap_and_by_attack(tmp_path, capsys):

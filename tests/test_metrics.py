@@ -253,3 +253,10 @@ def test_read_asv_score_file_rejects_garbage(tmp_path):
     bad_score.write_text("bonafide target notanumber\n")
     with pytest.raises(ValueError, match="not a score"):
         metrics.read_asv_score_file(str(bad_score))
+
+    # a plain ASV score file without spoof trials (or missing any class)
+    # must fail with a usable message, not a downstream TypeError
+    no_spoof = tmp_path / "no_spoof.txt"
+    no_spoof.write_text("bonafide target 1.0\nbonafide nontarget -1.0\n")
+    with pytest.raises(ValueError, match="no spoof trials"):
+        metrics.read_asv_score_file(str(no_spoof))

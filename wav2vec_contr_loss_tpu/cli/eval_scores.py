@@ -186,6 +186,10 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     asv_point = None
+    if not args.tdcf and (args.asv_scores is not None
+                          or args.asv_operating_point is not None):
+        p.error("--asv_scores/--asv_operating_point only make sense with "
+                "--tdcf (did you forget it?)")
     if args.tdcf:
         if (args.asv_scores is None) == (args.asv_operating_point is None):
             p.error("--tdcf needs exactly one of --asv_scores (official "

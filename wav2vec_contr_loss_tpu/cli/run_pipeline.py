@@ -77,6 +77,21 @@ def main(argv=None) -> None:
     add_multihost_arg(p)
     args = p.parse_args(argv)
 
+    if args.stage1_ckpt:
+        # fail loudly instead of silently dropping training-leg flags
+        ignored = [f"--{f}" for f in
+                   ("epochs", "batch_size", "max_duration_seconds",
+                    "input_dim", "hidden_dim", "cache_waveforms")
+                   if getattr(args, f) is not None]
+        if args.resume:
+            ignored.append("--resume")
+        if args.encoder_init != "pretrained":
+            ignored.append("--encoder_init")
+        if ignored:
+            p.error(f"{' '.join(ignored)} configure the stage-1 TRAINING "
+                    "leg, which --stage1_ckpt skips — drop them (the "
+                    "checkpoint carries its own config)")
+
     init_from_args(args)
 
     exp_dir = os.path.join(args.work_dir, args.exp_name)

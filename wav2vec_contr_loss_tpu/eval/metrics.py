@@ -235,9 +235,18 @@ def read_asv_score_file(
         raise ValueError(
             f"{path}: unknown ASV trial keys {sorted(bad)} — expected "
             "target/nontarget/spoof in the second-to-last column")
-    return (scores_arr[keys_arr == "target"],
-            scores_arr[keys_arr == "nontarget"],
-            scores_arr[keys_arr == "spoof"])
+    out = (scores_arr[keys_arr == "target"],
+           scores_arr[keys_arr == "nontarget"],
+           scores_arr[keys_arr == "spoof"])
+    empty = [n for n, a in zip(("target", "nontarget", "spoof"), out)
+             if a.size == 0]
+    if empty:
+        raise ValueError(
+            f"{path}: no {'/'.join(empty)} trials — the t-DCF operating "
+            "point needs all three (target/nontarget fix the ASV EER "
+            "threshold, spoof gives pmiss_spoof_asv); is this a plain "
+            "ASV score file without spoof trials?")
+    return out
 
 
 def asv_operating_point_from_scores(

@@ -212,6 +212,7 @@ def convert_stage1_checkpoint(
     hf_config: Optional[str] = None,
     name: str = "best",
     config_overrides: Optional[Dict] = None,
+    ckpt: Optional[Dict] = None,
 ) -> str:
     """Reference stage-1 .pt -> an Orbax checkpoint directory that
     `Stage1Trainer.from_checkpoint(out_dir, name)` (and therefore
@@ -226,7 +227,7 @@ def convert_stage1_checkpoint(
     from ..train import checkpoint as ckpt_mod
     from ..train.stage1 import Stage1Trainer
 
-    ckpt = _load_pt(src)
+    ckpt = _load_pt(src) if ckpt is None else ckpt
     if "compression_state_dict" not in ckpt:
         raise ValueError(f"{src} is not a reference stage-1 checkpoint")
     cfg = stage1_config_from_ckpt_dict(ckpt.get("config", {}))
@@ -262,12 +263,13 @@ def convert_stage2_checkpoint(
     src: str,
     out_dir: str,
     name: str = "stage2_binary_head_best",
+    ckpt: Optional[Dict] = None,
 ) -> str:
     """Reference stage-2 head .pt -> the checkpoint
     `cli.generate_scores.load_stage2_head` / `cli.train_stage2` consume."""
     from ..train import checkpoint as ckpt_mod
 
-    ckpt = _load_pt(src)
+    ckpt = _load_pt(src) if ckpt is None else ckpt
     head_type, params = convert_head_state_dict(ckpt["model_state_dict"])
     c = ckpt.get("config", {})
     in_dim = c.get("IN_DIM")
@@ -301,6 +303,7 @@ def convert_baseline_checkpoint(
     hf_config: Optional[str] = None,
     name: str = "baseline_best",
     config_overrides: Optional[Dict] = None,
+    ckpt: Optional[Dict] = None,
 ) -> str:
     """Reference baseline .pt (full End2EndBCEModel state dict:
     encoder.* / compression.* / classifier.*, baseline_train.py:153-176)
@@ -313,7 +316,7 @@ def convert_baseline_checkpoint(
     from ..train import checkpoint as ckpt_mod
     from ..train.baseline import BaselineTrainer
 
-    ckpt = _load_pt(src)
+    ckpt = _load_pt(src) if ckpt is None else ckpt
     sd = _strip_module_prefix(ckpt["model_state_dict"])
     cfg = _baseline_config_from_ckpt_dict(ckpt.get("config", {}))
     if config_overrides:
@@ -362,18 +365,20 @@ def convert_reference_checkpoint(
 ) -> Tuple[str, str]:
     """-> (kind, checkpoint path). Front door: detect the artifact format
     and dispatch."""
+    ckpt = _load_pt(src)  # loaded ONCE; threaded into the converter
     if kind == "auto":
-        kind = detect_kind(_load_pt(src))
+        kind = detect_kind(ckpt)
     if kind == "stage1":
         path = convert_stage1_checkpoint(
-            src, out_dir, encoder_init, hf_config, name=name or "best")
+            src, out_dir, encoder_init, hf_config, name=name or "best",
+            ckpt=ckpt)
     elif kind == "stage2":
         path = convert_stage2_checkpoint(
-            src, out_dir, name=name or "stage2_binary_head_best")
+            src, out_dir, name=name or "stage2_binary_head_best", ckpt=ckpt)
     elif kind == "baseline":
         path = convert_baseline_checkpoint(
             src, out_dir, encoder_init, hf_config,
-            name=name or "baseline_best")
+            name=name or "baseline_best", ckpt=ckpt)
     else:
         raise ValueError(f"unknown kind {kind!r}")
     return kind, path

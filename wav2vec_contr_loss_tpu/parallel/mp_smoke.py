@@ -136,18 +136,16 @@ def run_smoke(ckpt_dir: Optional[str] = None) -> Dict:
     # 'data' row, so each process's addressable portion of a data-sharded
     # batch is the FULL global batch — `_device_batches`' disjoint
     # per-process slicing contract does not apply here. Feed the whole
-    # global batch from every process.
-    from .mesh import batch_sharding
+    # global batch from every process through the shared assembler.
+    from .mesh import global_batch_from_local
 
-    pp_sh = batch_sharding(pp_mesh)
     pp_losses: List[float] = []
     for b in batches():
-        dev_batch = {
-            k: jax.make_array_from_process_local_data(pp_sh, np.asarray(v))
-            for k, v in (("waveforms", b.waveforms),
-                         ("labels", b.labels),
-                         ("multi_labels", b.multi_labels))
-        }
+        dev_batch = global_batch_from_local(pp_mesh, {
+            "waveforms": b.waveforms,
+            "labels": b.labels,
+            "multi_labels": b.multi_labels,
+        })
         pp_state, pp_metrics = pp_trainer.train_step(pp_state, dev_batch,
                                                      alpha)
         pp_losses.append(float(pp_metrics["loss"]))

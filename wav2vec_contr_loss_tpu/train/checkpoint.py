@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -420,7 +421,7 @@ def restore_checkpoint(directory: str, name: str,
     if jax.process_count() > 1:
         return attempt()
     last_err: Optional[BaseException] = None
-    for _ in range(3):
+    for attempt_no in range(3):
         try:
             return attempt()
         except _TornRead as e:
@@ -429,13 +430,19 @@ def restore_checkpoint(directory: str, name: str,
             # A mid-swap mixed read can surface as ANY exception type, not
             # just FileNotFoundError/OSError: orbax raises ValueError/
             # KeyError when it pairs old and new array files, and a
-            # vanishing sidecar can yield a JSONDecodeError. Retry them
-            # all; a genuinely absent checkpoint still raises immediately,
-            # and a persistent (non-race) error re-raises after the
-            # attempt cap.
+            # vanishing sidecar can yield a JSONDecodeError. Retry them;
+            # a genuinely absent checkpoint raises immediately, and an
+            # error that REPEATS identically is deterministic (corrupt
+            # checkpoint, mismatched `target` template), not a race — a
+            # multi-GB restore must not run three full times for those.
             if _resolve_readable(path) is None:
                 raise  # genuinely absent, not a swap window
+            if (last_err is not None and type(e) is type(last_err)
+                    and str(e) == str(last_err)):
+                raise
             last_err = e
+        if attempt_no < 2:
+            time.sleep(0.25)  # let an in-flight swap commit
     raise last_err
 
 
