@@ -59,6 +59,7 @@ SLOW_TESTS = {
     "tests/test_preemption.py::test_baseline_mid_epoch_resume_bit_identical",
     "tests/test_preemption.py::test_cli_preemption_exits_75_and_resumes",
     "tests/test_quant.py::test_quantize_encoder_params_targets_only_transformer_denses",
+    "tests/test_ref_convert.py::test_converted_checkpoints_drive_the_serving_stack",
     "tests/test_ref_convert.py::test_stage1_finetuned_pt_round_trip",
     "tests/test_quant.py::test_quantized_scorer_preserves_scoring",
     "tests/test_rawboost.py::test_device_batch_invariants",

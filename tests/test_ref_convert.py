@@ -383,3 +383,86 @@ def test_baseline_pt_round_trip(reference_dir, tmp_path):
         back_logits, _ = model2(wt, (wt != 0.0).long())
     np.testing.assert_allclose(back_logits.numpy(), ref_logits,
                                atol=2e-5, rtol=1e-4)
+
+
+def test_converted_checkpoints_drive_the_serving_stack(reference_dir,
+                                                       tmp_path):
+    """The full switch-without-retraining story: a reference user's
+    trained stage-1 + stage-2 .pt pair, converted, must drive the FUSED
+    serving stack (eval/serving.SpoofScorer) to the same scores the
+    reference pipeline composes by hand (Stage1Backbone embeddings ->
+    stage-2 head logits, extract_stage1_embeddings.py:147-163 +
+    generate_eval_score_file.py:126-166)."""
+    from wav2vec_contr_loss_tpu.models import (
+        config_from_hf,
+        convert_hf_state_dict,
+    )
+    from wav2vec_contr_loss_tpu.models.hf_convert import save_encoder_init
+    from wav2vec_contr_loss_tpu.models.ref_convert import (
+        convert_stage2_checkpoint,
+    )
+
+    ref_s2 = _load_ref("stage2_utils")
+    hf_cfg, hf_model, encoder_t, comp_t = _train_reference_stage1(
+        finetune=False)
+
+    # the reference-trained stage-1 artifact + its converted form
+    pt1 = str(tmp_path / "stage1.pt")
+    torch.save({
+        "epoch": 2, "compression_state_dict": comp_t.state_dict(),
+        "train_loss": 1.0, "dev_loss": 0.9,
+        "config": _stage1_ckpt_config(False),
+    }, pt1)
+    enc_cfg = config_from_hf(hf_cfg)
+    enc_init = str(tmp_path / "enc_init")
+    save_encoder_init(enc_init, enc_cfg,
+                      convert_hf_state_dict(hf_model.state_dict(), enc_cfg))
+    out1 = str(tmp_path / "conv_stage1")
+    convert_stage1_checkpoint(pt1, out1, encoder_init=enc_init,
+                              config_overrides={**GEOM, **EXACT_KNOBS})
+
+    # train the reference's stage-2 head on REFERENCE-extracted embeddings
+    rng = np.random.default_rng(21)
+    n_train = 48
+    train_w = rng.normal(0, 0.2, (n_train, SR * SECONDS)).astype(np.float32)
+    y_train = np.array([1, 0] * (n_train // 2))
+    z_train = _ref_stage1_embeddings(encoder_t, comp_t, train_w)
+    z_train += 0.4 * y_train[:, None].astype(np.float32)  # separable-ish
+    cfg_ref = types.SimpleNamespace(
+        head_type="linear", hidden_dim=8, dropout=0.0, lr=5e-3,
+        weight_decay=1e-4, epochs=3, patience=100, log_every=10 ** 9,
+        save_dir=str(tmp_path / "ref_s2"),
+    )
+    loader = [(torch.from_numpy(z_train[i:i + 16]),
+               torch.from_numpy(y_train[i:i + 16]).float())
+              for i in range(0, n_train, 16)]
+    torch.manual_seed(6)
+    pt2 = ref_s2.train_classifier(
+        cfg_ref, loader, loader, torch.device("cpu"), in_dim=HID,
+        pos_weight_val=1.0,
+        ckpt_cfg={"HEAD_TYPE": "linear", "IN_DIM": HID, "HIDDEN_DIM": 8,
+                  "DROPOUT": 0.0})
+    out2 = str(tmp_path / "conv_stage2")
+    convert_stage2_checkpoint(pt2, out2)
+
+    # the reference pipeline's scores over fresh eval waveforms
+    waves = rng.normal(0, 0.2, (8, SR * SECONDS)).astype(np.float32)
+    waves[::3, -400:] = 0.0
+    z_eval = _ref_stage1_embeddings(encoder_t, comp_t, waves)
+    clf = ref_s2.build_head(cfg_ref, in_dim=HID)
+    clf.load_state_dict(
+        torch.load(pt2, weights_only=False)["model_state_dict"])
+    clf.eval()
+    with torch.no_grad():
+        ref_scores = clf(torch.from_numpy(z_eval)).numpy()
+
+    # the serving stack over the CONVERTED pair
+    from wav2vec_contr_loss_tpu.cli.generate_scores import load_stage2_head
+    from wav2vec_contr_loss_tpu.eval.serving import SpoofScorer
+    from wav2vec_contr_loss_tpu.train import Stage1Trainer
+
+    trainer, state = Stage1Trainer.from_checkpoint(out1, "best")
+    cfg2, head_params = load_stage2_head(out2)
+    scorer = SpoofScorer(trainer, state, cfg2, head_params)
+    ours = scorer.score_waveforms(waves)
+    np.testing.assert_allclose(ours, ref_scores, atol=1e-3, rtol=1e-3)
